@@ -1,0 +1,281 @@
+"""Typed configuration tree for the TPU-native SLAM engine.
+
+The reference loads a flat OpenCV-YAML file into a ``Config`` struct plus
+process-global camera statics (reference: src/ORB_SLAM2/src/System.cc:18-79,
+include/ORB_SLAM2/System.h:25-40, include/ORB_SLAM2/Camera.h:23-32).  Here the
+same knobs — plus every constant the reference hard-codes inline (see
+SURVEY.md §5.6) — live in one frozen dataclass tree so that jitted programs can
+treat them as static compile-time parameters.
+
+All *capacities* (max keypoints, max keyframes, max map points, ...) are new:
+the TPU design uses fixed-capacity padded arrays everywhere, because XLA
+requires static shapes.  The reference's dynamic STL containers have no
+capacity limits; ours are documented defaults sized for KITTI-00-class runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole stereo / RGB-D camera intrinsics.
+
+    Mirrors the global statics ``Camera::mfFx/mfFy/mfCx/mfCy/mfBf/mfBl`` and
+    distortion coefficients (reference: include/ORB_SLAM2/Camera.h:23-32,
+    src/System.cc:27-78).
+    """
+
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    # radial-tangential distortion (k1,k2,p1,p2[,k3]); zeros = already rectified
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    baseline: float = 0.537166  # metres; Camera.bl in YAML
+    # 0 = stereo, 1 = RGB-D (reference Camera::CameraType, Camera.h:14-17)
+    camera_type: int = 0
+    # 0 gray / 1 RGB / 2 BGR (reference Tracking.cc:52-68)
+    color: int = 0
+    depth_scale: float = 5000.0  # RGB-D depth image divisor (TUM convention)
+    width: int = 1241
+    height: int = 376
+
+    @property
+    def bf(self) -> float:
+        """baseline × fx, used for disparity→depth (Camera::mfBf)."""
+        return self.baseline * self.fx
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(v) > 1e-12 for v in (self.k1, self.k2, self.p1, self.p2, self.k3))
+
+
+@dataclass(frozen=True)
+class ORBConfig:
+    """Feature-extraction knobs (reference: config/kitti_config_00.yaml:31-36,
+    src/ORBExtractor.cc constants)."""
+
+    n_features: int = 2000
+    n_init_features: int = 2000  # used for the first (initialization) frames
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_th_fast: int = 20  # high FAST threshold (ORBExtractor.cc:331-387)
+    min_th_fast: int = 7   # fallback low threshold
+    edge_border: int = 19  # keypoint border (ORBExtractor.cc:523)
+    patch_radius: int = 15  # grey-centroid orientation radius (ORBExtractor.cc:518)
+    # TPU-native replacement for the reference quadtree (ORBExtractor.cc:19-192):
+    # per-level spatial cells with top-k-by-response selection.  Cell size in px
+    # at level 0 (reference FAST cells are 30×30, ORBExtractor.cc:331).
+    cell_size: int = 32
+    # padded per-frame keypoint capacity (static shape), >= n_features
+    max_keypoints: int = 2048
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor-matching thresholds (reference: src/ORBMatcher.cc:1086-1093)."""
+
+    max_threshold: int = 100   # mnMaxThreshold
+    min_threshold: int = 50    # mnMinThreshold
+    mean_threshold: int = 75   # mnMeanThreshold
+    sad_half_window: int = 5   # mnW — 11×11 SAD patch
+    sad_search_half: int = 5   # mnL — ±5 px sub-pixel refinement range
+    n_rot_bins: int = 30       # mnBinNum — rotation-consistency histogram bins
+    n_rot_keep: int = 3        # mnBinChoose — keep top-3 bins
+    nn_ratio_track: float = 0.9   # best/second ratio in projection search
+    nn_ratio_bow: float = 0.7     # ratio for BoW-constrained matching
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Front-end state-machine knobs (reference: src/Tracking.cc)."""
+
+    max_frames: int = 10  # KF cadence upper bound (MaxFrames)
+    min_frames: int = 0   # KF cadence lower bound (MinFrames)
+    th_depth: float = 35.0  # near-point multiplier: depth_th = baseline*ThDepth
+    min_init_depth_kps: int = 500  # stereo init gate (Tracking.cc:104-111)
+    motion_search_radius: float = 15.0  # projection radius (→×2 retry)
+    min_motion_matches: int = 20
+    min_track_inliers: int = 10
+    min_localmap_matches: int = 30
+    min_localmap_inliers: int = 30
+    min_localmap_inliers_reloc: int = 50
+    only_tracking: bool = False
+    # capacity of the device-resident local-map snapshot (1st+2nd ring MPs)
+    max_local_mappoints: int = 16384
+    max_local_keyframes: int = 64
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """LocalMapping knobs (reference: src/LocalMapping.cc)."""
+
+    mp_cull_score: float = 0.25      # found/visible ratio gate (LocalMapping.cc:686)
+    kf_cull_ratio: float = 0.9       # 90% redundancy gate (LocalMapping.cc:613)
+    min_covis_weight: int = 15       # covisibility edge threshold (KeyFrame.cc:94)
+    n_triangulate_kfs: int = 10      # best-covisible KFs for new MPs
+    triangulation_rank_gate: float = 1e-3  # σ3/σ2 SVD gate (LocalMapping.cc:330)
+    max_new_mps_per_kf: int = 2048   # padded capacity for one triangulation round
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """LoopClosing knobs (reference: src/LoopClosing.cc)."""
+
+    consistency_th: int = 3       # consecutive consistent groups (LoopClosing.cc:272)
+    min_bow_matches: int = 20
+    min_sim3_inliers: int = 20
+    min_sim3_opt_inliers: int = 50
+    min_group_proj_matches: int = 40
+    essential_graph_weight: int = 100  # covis weight for essential graph (LoopClosing.cc:536)
+    global_ba_iters: int = 10
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Bundle-adjustment knobs (reference: src/Optimizer.cc).
+
+    χ² gates: 5.991 (2-DoF mono), 7.815 (3-DoF stereo), 9.21 (Sim3);
+    Huber deltas are the square roots (Optimizer.cc:1084-1086).
+    """
+
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    chi2_sim3: float = 9.21
+    pose_rounds: int = 4          # pose-only opt rounds (Optimizer.cc:119)
+    pose_iters_per_round: int = 10
+    local_ba_iters: int = 10      # 5 + gate + 10 in reference; we run damped GN
+    max_local_ba_kfs: int = 32    # free keyframes in local BA window
+    max_local_ba_fixed: int = 64  # fixed 2nd-ring anchors
+    max_local_ba_edges: int = 32768
+    pcg_iters: int = 40           # CG iterations for the (global) reduced system
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 10.0
+    lm_lambda_down: float = 0.33
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Fixed capacities of the device-resident SoA map stores (TPU-new)."""
+
+    max_keyframes: int = 1024
+    max_mappoints: int = 1 << 18   # 262144
+    max_obs_per_mp: int = 24       # per-MapPoint observation fan-out cap
+    covis_topk: int = 32           # top-k covisibility neighbours kept per KF
+    load_map: bool = False
+    save_map: bool = False
+    map_path: str = ""
+
+
+@dataclass(frozen=True)
+class BoWConfig:
+    """Bag-of-words vocabulary (replaces DBoW3, reference System.cc:93)."""
+
+    branching: int = 10   # k-ary tree fan-out (DBoW3 ORBvoc uses k=10)
+    depth: int = 4        # levels (ORBvoc uses 6 → 1M words; 4 → 10k words)
+    levels_up: int = 1    # feature-vector grouping level (DBoW3 levelsup=4 of 6)
+    vocab_path: str = ""  # optional pre-trained vocabulary (npz)
+    max_words_per_query: int = 512
+
+
+@dataclass(frozen=True)
+class DistConfig:
+    """Multi-chip sharding (TPU-new; reference has no distributed backend)."""
+
+    n_devices: int = 1
+    mesh_axis: str = "ba"  # landmark-block sharding axis for distributed BA
+
+
+@dataclass(frozen=True)
+class SLAMConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: ORBConfig = field(default_factory=ORBConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    bow: BoWConfig = field(default_factory=BoWConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
+
+    def replace(self, **kw) -> "SLAMConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def from_yaml(path: str) -> "SLAMConfig":
+        """Load a config from YAML.
+
+        Accepts either our nested schema or the reference's flat OpenCV-YAML
+        keys (``Camera.fx`` etc., reference System.cc:18-79) for drop-in use of
+        existing config files.
+        """
+        with open(path) as f:
+            text = f.read()
+        # cv::FileStorage YAML begins with a %YAML directive line that PyYAML
+        # rejects together with the flow-style body; strip it.
+        lines = [ln for ln in text.splitlines() if not ln.startswith("%YAML")]
+        raw = yaml.safe_load("\n".join(lines)) or {}
+        if any(k.startswith("Camera.") for k in raw):
+            return _from_reference_yaml(raw)
+        return _from_nested(raw)
+
+
+def _from_reference_yaml(raw: dict) -> SLAMConfig:
+    """Map the reference's flat keys (config/kitti_config_00.yaml) onto ours."""
+    g = raw.get
+    cam = CameraConfig(
+        fx=float(g("Camera.fx", 718.856)), fy=float(g("Camera.fy", 718.856)),
+        cx=float(g("Camera.cx", 607.1928)), cy=float(g("Camera.cy", 185.2157)),
+        k1=float(g("Camera.k1", 0.0)), k2=float(g("Camera.k2", 0.0)),
+        p1=float(g("Camera.p1", 0.0)), p2=float(g("Camera.p2", 0.0)),
+        k3=float(g("Camera.k3", 0.0)),
+        baseline=float(g("Camera.bl", 0.537166)),
+        camera_type=int(g("Camera.Type", 0)), color=int(g("Camera.Color", 0)),
+        depth_scale=float(g("Camera.DepthScale", 5000.0)),
+    )
+    orb = ORBConfig(
+        n_features=int(g("ORBExtractor.nFeatures", 2000)),
+        n_init_features=int(g("ORBExtractor.nInitFeatures", 2000)),
+        n_levels=int(g("ORBExtractor.nLevels", 8)),
+        scale_factor=float(g("ORBExtractor.scaleFactor", 1.2)),
+        ini_th_fast=int(g("ORBExtractor.iniThFAST", 20)),
+        min_th_fast=int(g("ORBExtractor.minThFAST", 7)),
+    )
+    tracking = TrackingConfig(
+        max_frames=int(g("MaxFrames", 10)), min_frames=int(g("MinFrames", 0)),
+        th_depth=float(g("ThDepth", 35.0)),
+        only_tracking=bool(int(g("OnlyTracking", 0))),
+    )
+    mp = MapConfig(
+        load_map=bool(int(g("Map.LoadMap", 0))),
+        save_map=bool(int(g("Map.SaveMap", 0))),
+        map_path=str(g("Path.Map", "")),
+    )
+    return SLAMConfig(camera=cam, orb=orb, tracking=tracking, map=mp)
+
+
+def _from_nested(raw: dict) -> SLAMConfig:
+    def build(cls, key):
+        sub = raw.get(key, {}) or {}
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in sub.items() if k in names})
+
+    return SLAMConfig(
+        camera=build(CameraConfig, "camera"), orb=build(ORBConfig, "orb"),
+        matcher=build(MatcherConfig, "matcher"),
+        tracking=build(TrackingConfig, "tracking"),
+        mapping=build(MappingConfig, "mapping"), loop=build(LoopConfig, "loop"),
+        ba=build(BAConfig, "ba"), map=build(MapConfig, "map"),
+        bow=build(BoWConfig, "bow"), dist=build(DistConfig, "dist"),
+    )
