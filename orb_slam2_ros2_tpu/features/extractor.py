@@ -1,0 +1,168 @@
+"""The ORB feature frontend: pyramid → FAST → orientation → BRIEF → stereo.
+
+Replaces the reference's ``ORBExtractor::extract`` + two extractor threads +
+``ORBMatcher::searchByStereo`` per frame (reference: src/ORBExtractor.cc:
+499-508, src/Frame.cc:85-111) with ONE jitted program per stereo pair:
+both images' pyramids, corner maps, descriptors and the stereo match all run
+batched on-device; the host only hands in two images and receives a padded
+``StereoFrame`` pytree.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SLAMConfig
+from ..geometry import camera as cam_mod
+from ..ops import brief, fast, stereo
+from ..ops.canvas import build_canvas, canvas_layout, extract_patches
+from ..ops.pyramid import build_pyramid
+from .frame import FrameFeatures, StereoFrame
+
+
+def level_capacities(max_kp: int, n_levels: int, scale_factor: float) -> List[int]:
+    """Distribute the padded keypoint budget over levels ∝ (1/s)^l — the
+    reference's geometric feature budget n·(1−s)/(1−s^L)
+    (ORBExtractor.cc:291-301) — rounded to multiples of 8 summing exactly."""
+    inv = 1.0 / scale_factor
+    weights = np.array([inv**l for l in range(n_levels)])
+    raw = max_kp * weights / weights.sum()
+    caps = [max(8, int(c // 8 * 8)) for c in raw]
+    caps[0] += max_kp - sum(caps)
+    return caps
+
+
+def extract_features(
+    img: jnp.ndarray,
+    cam: cam_mod.CameraParams,
+    *,
+    h: int,
+    w: int,
+    n_levels: int,
+    scale_factor: float,
+    caps: Tuple[int, ...],
+    border: int,
+    min_th: float,
+    ini_th: float,
+    cell: int,
+    undistort: bool,
+) -> Tuple[FrameFeatures, jnp.ndarray, jnp.ndarray]:
+    """One image → (FrameFeatures, raw canvas, blurred canvas)."""
+    levels, blurred = build_pyramid(img, n_levels, scale_factor)
+    row_off_np, total_rows, _ = canvas_layout(h, w, n_levels, scale_factor)
+    canvas_raw = build_canvas(levels, w, total_rows)
+    canvas_blur = build_canvas(blurred, w, total_rows)
+    row_off = jnp.asarray(row_off_np)
+
+    uts, resps, valids, octs = [], [], [], []
+    for l in range(n_levels):
+        score = fast.nms3(fast.fast_score(levels[l], min_th))
+        uv_l, resp_l, valid_l = fast.select_keypoints(
+            score, caps[l], border=border, cell=cell, topk_per_cell=4, strong_threshold=ini_th
+        )
+        s = scale_factor**l
+        uts.append(uv_l * s)  # to level-0 coords
+        resps.append(resp_l)
+        valids.append(valid_l)
+        octs.append(jnp.full((caps[l],), l, jnp.int32))
+
+    uv_raw = jnp.concatenate(uts)
+    response = jnp.concatenate(resps)
+    valid = jnp.concatenate(valids)
+    octave = jnp.concatenate(octs)
+
+    centers = stereo.canvas_centers(uv_raw, octave, scale_factor, row_off)
+    patches_raw = extract_patches(canvas_raw, centers, brief.PATCH_HALF)
+    angles_rad = brief.orientations(patches_raw)
+    patches_blur = extract_patches(canvas_blur, centers, brief.PATCH_HALF)
+    desc = brief.describe(patches_blur, angles_rad)
+
+    uv = cam_mod.undistort_points(cam, uv_raw) if undistort else uv_raw
+    feats = FrameFeatures(
+        uv=uv,
+        uv_raw=uv_raw,
+        octave=octave,
+        response=response,
+        angle=brief.angles_deg(angles_rad),
+        desc=desc,
+        valid=valid,
+    )
+    return feats, canvas_raw, canvas_blur
+
+
+def make_extractor(cfg: SLAMConfig):
+    """Jitted single-image extractor: img[H, W] f32, cam → features+canvases."""
+    o, c = cfg.orb, cfg.camera
+    caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
+    fn = partial(
+        extract_features,
+        h=c.height, w=c.width, n_levels=o.n_levels, scale_factor=o.scale_factor,
+        caps=caps, border=o.edge_border, min_th=float(o.min_th_fast),
+        ini_th=float(o.ini_th_fast), cell=o.cell_size, undistort=c.has_distortion,
+    )
+    return jax.jit(fn)
+
+
+def make_stereo_frontend(cfg: SLAMConfig):
+    """Jitted stereo frontend: (imgL, imgR, cam) → StereoFrame.
+
+    The reference runs two extractor threads then searchByStereo
+    (Frame.cc:100-111); here both extractions and the match are one fused
+    XLA program.
+    """
+    o, c, m = cfg.orb, cfg.camera, cfg.matcher
+    caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
+    row_off_np, _, _ = canvas_layout(c.height, c.width, o.n_levels, o.scale_factor)
+
+    def frontend(img_l: jnp.ndarray, img_r: jnp.ndarray, cam: cam_mod.CameraParams) -> StereoFrame:
+        ex = partial(
+            extract_features,
+            cam=cam,
+            h=c.height, w=c.width, n_levels=o.n_levels, scale_factor=o.scale_factor,
+            caps=caps, border=o.edge_border, min_th=float(o.min_th_fast),
+            ini_th=float(o.ini_th_fast), cell=o.cell_size, undistort=c.has_distortion,
+        )
+        featL, canL, _ = ex(img_l)
+        featR, canR, _ = ex(img_r)
+        right_u, depth = stereo.stereo_match(
+            featL, featR, canL, canR, jnp.asarray(row_off_np),
+            scale_factor=o.scale_factor, fx=c.fx, bf=c.bf, image_width=c.width,
+            mean_threshold=m.mean_threshold, sad_half=m.sad_half_window,
+            search_half=m.sad_search_half,
+        )
+        return StereoFrame(feats=featL, right_u=right_u, depth=depth)
+
+    return jax.jit(frontend)
+
+
+def make_rgbd_frontend(cfg: SLAMConfig):
+    """Jitted RGB-D frontend: (img, depth_map, cam) → StereoFrame.
+
+    Depth is sampled at each keypoint's raw coords and converted to a
+    synthetic right-image coordinate right_u = u − bf/d (reference RGB-D
+    factory, Frame.cc:125-159).
+    """
+    o, c = cfg.orb, cfg.camera
+    caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
+
+    def frontend(img: jnp.ndarray, depth_map: jnp.ndarray, cam: cam_mod.CameraParams) -> StereoFrame:
+        feats, _, _ = extract_features(
+            img, cam,
+            h=c.height, w=c.width, n_levels=o.n_levels, scale_factor=o.scale_factor,
+            caps=caps, border=o.edge_border, min_th=float(o.min_th_fast),
+            ini_th=float(o.ini_th_fast), cell=o.cell_size, undistort=c.has_distortion,
+        )
+        yi = jnp.clip(jnp.round(feats.uv_raw[:, 1]).astype(jnp.int32), 0, c.height - 1)
+        xi = jnp.clip(jnp.round(feats.uv_raw[:, 0]).astype(jnp.int32), 0, c.width - 1)
+        d = depth_map[yi, xi] / c.depth_scale
+        ok = feats.valid & (d > 0.0)
+        depth = jnp.where(ok, d, -1.0)
+        right_u = jnp.where(ok, feats.uv[:, 0] - cam.bf / jnp.where(ok, d, 1.0), -1.0)
+        return StereoFrame(feats=feats, right_u=right_u, depth=depth)
+
+    return jax.jit(frontend)

@@ -1,0 +1,132 @@
+"""Synthetic textured-box world renderer (TPU-new; no reference counterpart).
+
+The environment ships no KITTI/TUM data, so tests and benchmarks render a
+deterministic synthetic stereo sequence with exact ground-truth poses and
+depth: the camera flies through a closed textured box; every pixel ray is
+intersected with the six box planes and shaded with blocky multi-octave
+value noise (sharp edges → plenty of FAST corners).  Fully vectorized jax —
+renders on-device for the benchmark.
+
+World frame: x right, y down, z forward (camera convention at identity).
+Box interior: x ∈ [−8, 8], y ∈ [−3, 1.5], z ∈ [−5, 200].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3
+
+BOX_MIN = np.array([-8.0, -3.0, -5.0], np.float32)
+BOX_MAX = np.array([8.0, 1.5, 200.0], np.float32)
+
+
+def _hash3(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray) -> jnp.ndarray:
+    """Integer lattice hash → [0, 1) f32 (deterministic, branch-free)."""
+    h = (
+        ix.astype(jnp.uint32) * jnp.uint32(0x8DA6B343)
+        + iy.astype(jnp.uint32) * jnp.uint32(0xD8163841)
+        + iz.astype(jnp.uint32) * jnp.uint32(0xCB1AB31F)
+    )
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0x9E3779B1)
+    h = h ^ (h >> 16)
+    return (h & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65536.0
+
+
+def _texture(p: jnp.ndarray) -> jnp.ndarray:
+    """Blocky 3-octave value noise in [0, 255] for world points [..., 3]."""
+    out = 0.0
+    amp = 1.0
+    freq = 1.5
+    total = 0.0
+    for _ in range(3):
+        q = jnp.floor(p * freq)
+        out = out + amp * _hash3(q[..., 0], q[..., 1], q[..., 2])
+        total += amp
+        amp *= 0.5
+        freq *= 2.7
+    return 255.0 * out / total
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
+def render(K_inv: jnp.ndarray, Twc: jnp.ndarray, h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render (image [h, w] f32 in [0,255], depth [h, w] f32 in camera z)."""
+    us = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    vs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    pix = jnp.stack([us, vs, jnp.ones_like(us)], axis=-1)
+    rays_c = jnp.einsum("ij,hwj->hwi", K_inv, pix)
+    R, t = se3.R_of(Twc), se3.t_of(Twc)
+    rays_w = jnp.einsum("ij,hwj->hwi", R, rays_c)
+    origin = t
+
+    t_best = jnp.full((h, w), jnp.inf)
+    for axis in range(3):
+        for bound in (BOX_MIN[axis], BOX_MAX[axis]):
+            d = rays_w[..., axis]
+            safe_d = jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
+            t_hit = (bound - origin[axis]) / safe_d
+            # valid forward hit; keep nearest
+            ok = t_hit > 1e-3
+            t_best = jnp.where(ok & (t_hit < t_best), t_hit, t_best)
+
+    hit = origin + t_best[..., None] * rays_w
+    img = _texture(hit)
+    depth = t_best * rays_c[..., 2]  # camera-frame z = t * (unit-z component)
+    return img, depth
+
+
+def trajectory(n_frames: int, speed: float = 0.8, yaw_rate: float = 0.002) -> np.ndarray:
+    """Ground-truth Twc poses [n, 4, 4]: forward motion with gentle yaw."""
+    poses = []
+    T = np.eye(4, dtype=np.float32)
+    for i in range(n_frames):
+        poses.append(T.copy())
+        yaw = yaw_rate * np.sin(i * 0.05)
+        c, s = np.cos(yaw), np.sin(yaw)
+        dR = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        step = np.eye(4, dtype=np.float32)
+        step[:3, :3] = dR
+        step[:3, 3] = [0.0, 0.0, speed]
+        T = T @ step
+    return np.stack(poses)
+
+
+class SyntheticStereoDataset:
+    """Iterable synthetic stereo sequence with ground truth.
+
+    Mirrors the role of the reference's KITTI example driver
+    (example/Stereo/KittiStereo.cc) for environments without data.
+    """
+
+    def __init__(self, cam_cfg, n_frames: int = 100, speed: float = 0.8):
+        self.cfg = cam_cfg
+        self.poses_wc = trajectory(n_frames, speed)
+        K = np.array(
+            [[cam_cfg.fx, 0, cam_cfg.cx], [0, cam_cfg.fy, cam_cfg.cy], [0, 0, 1]],
+            np.float32,
+        )
+        self.K_inv = jnp.asarray(np.linalg.inv(K))
+        self.n_frames = n_frames
+
+    def __len__(self):
+        return self.n_frames
+
+    def frame(self, i: int):
+        """Returns (img_left, img_right, Twc_gt) — images [H, W] f32."""
+        Twc = jnp.asarray(self.poses_wc[i])
+        imgL, _ = render(self.K_inv, Twc, self.cfg.height, self.cfg.width)
+        right_offset = jnp.eye(4).at[0, 3].set(self.cfg.baseline)
+        Twc_r = Twc @ right_offset
+        imgR, _ = render(self.K_inv, Twc_r, self.cfg.height, self.cfg.width)
+        return imgL, imgR, np.asarray(self.poses_wc[i])
+
+    def frame_with_depth(self, i: int):
+        Twc = jnp.asarray(self.poses_wc[i])
+        imgL, depth = render(self.K_inv, Twc, self.cfg.height, self.cfg.width)
+        return imgL, depth, np.asarray(self.poses_wc[i])
