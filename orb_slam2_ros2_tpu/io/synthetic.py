@@ -77,6 +77,12 @@ def render(K_inv: jnp.ndarray, Twc: jnp.ndarray, h: int, w: int) -> Tuple[jnp.nd
 
     hit = origin + t_best[..., None] * rays_w
     img = _texture(hit)
+    # Optical PSF: real cameras never deliver razor-sharp block edges.  Without
+    # this blur the SAD sub-pixel refinement pixel-locks on the aliased texture
+    # and stereo depth develops a camera-position-dependent bias.
+    from ..ops.pyramid import gaussian_blur
+
+    img = gaussian_blur(img, ksize=5, sigma=1.0)
     depth = t_best * rays_c[..., 2]  # camera-frame z = t * (unit-z component)
     return img, depth
 

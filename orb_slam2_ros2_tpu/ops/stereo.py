@@ -94,11 +94,20 @@ def stereo_match(
     best_j = jnp.argmin(masked, axis=1)
     best_d = jnp.take_along_axis(masked, best_j[:, None], axis=1)[:, 0]
 
+    # left↔right mutual-best consistency (TPU addition, not in the reference):
+    # repetitive texture along the epipolar line produces aliased matches that
+    # the reference's one-way best match lets through; requiring the right
+    # keypoint to pick the same left keypoint removes most of them for free
+    # (the full distance matrix is already on chip).
+    best_i = jnp.argmin(masked, axis=0)
+    mutual = best_i[best_j] == jnp.arange(masked.shape[0])
+
     oct_r = featR.octave[best_j]
     ok = (
         (best_d <= mean_threshold)
         & (jnp.abs(featL.octave - oct_r) <= 1)
         & (best_d < BIG)
+        & mutual
     )
 
     # ---- SAD refinement on each keypoint's own pyramid level -----------------
@@ -136,7 +145,8 @@ def stereo_match(
     fallback = disparity <= 0.0
     right_u = jnp.where(fallback, uvR_best[:, 0], right_u)
     disparity = featL.uv[:, 0] - right_u
-    ok = ok & (disparity > 0.0)
+    # sub-pixel disparities below ~0.5 px give unusably noisy depth
+    ok = ok & (disparity > 0.5)
 
     depth = jnp.where(ok, bf / jnp.where(disparity > 0, disparity, 1.0), -1.0)
     right_u = jnp.where(ok, right_u, -1.0)

@@ -129,5 +129,10 @@ def optimize_pose(
         chi2 = chi2_per_obs(cam, Tcw, obs)
         inlier = obs.valid & (chi2 < chi2_th)
 
+    # Re-orthonormalize: ~40 f32 4×4 multiplies per call leave an O(1e-6)
+    # rotation defect, and the tracker's velocity feedback (T_pred = V·T with
+    # V = T·T_last⁻¹, inverse-by-transpose) DOUBLES any defect every frame —
+    # without this projection the pose matrix degenerates geometrically.
+    Tcw = se3.normalize(Tcw)
     n_inliers = jnp.sum(inlier.astype(jnp.int32))
     return Tcw, inlier, n_inliers
