@@ -1,0 +1,109 @@
+"""Local-map extraction and local-map tracking support.
+
+The reference builds the local map as the 1st+2nd-ring covisible keyframes of
+the current frame and collects their map points into a vector for projection
+matching (reference: Tracking::buildLocalMap, src/Tracking.cc:277-326).  Here
+the local map is a fixed-capacity device-side snapshot: gather the covisible
+KF rows of ``kf_mp_idx``, scatter into an M-sized mask, compact the set to
+``L_mp`` slots with top_k — one jitted program, no host involvement.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .map_state import MapState
+
+
+class LocalMap(NamedTuple):
+    """Fixed-size snapshot of the current local map."""
+
+    mp_ids: jnp.ndarray     # i32[L_mp] (−1 = padding)
+    pos: jnp.ndarray        # f32[L_mp, 3]
+    normal: jnp.ndarray     # f32[L_mp, 3]
+    desc: jnp.ndarray       # u32[L_mp, 8]
+    min_dist: jnp.ndarray   # f32[L_mp]
+    max_dist: jnp.ndarray   # f32[L_mp]
+    valid: jnp.ndarray      # bool[L_mp]
+    kf_ids: jnp.ndarray     # i32[L_kf] local keyframes (−1 = padding)
+    kf_mask: jnp.ndarray    # bool[K] membership mask of local KFs
+
+
+def covisible_kfs(state: MapState, kf_id, n_first: int, n_second: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1st + 2nd ring covisible keyframes of ``kf_id`` as a bounded id list
+    and a K-mask (reference Tracking.cc:277-314).  The first ring is the
+    top-``n_first`` covisibility neighbours; the second ring adds the best
+    neighbour of each first-ring KF."""
+    K = state.kf_capacity
+    w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
+    w1, ids1 = jax.lax.top_k(w, n_first)
+    ring1 = jnp.where(w1 > 0, ids1, -1)
+
+    # second ring: top-n_second neighbours of each ring-1 KF
+    rows = state.covis[jnp.clip(ring1, 0, K - 1)] * state.kf_valid.astype(jnp.int32)[None, :]
+    w2, ids2 = jax.lax.top_k(rows, n_second)
+    ring2 = jnp.where((w2 > 0) & (ring1[:, None] >= 0), ids2, -1)
+
+    mask = jnp.zeros((K,), bool)
+    mask = mask.at[jnp.where(ring1 >= 0, ring1, K)].set(True, mode="drop")
+    mask = mask.at[jnp.where(ring2 >= 0, ring2, K).reshape(-1)].set(True, mode="drop")
+    mask = mask.at[kf_id].set(True)
+    mask = mask & state.kf_valid
+    return ring1, mask
+
+
+def local_map_snapshot(
+    state: MapState, kf_id, *, n_first: int = 10, n_second: int = 5,
+    max_kfs: int = 64, max_mps: int = 16384,
+) -> LocalMap:
+    """Collect the local map around ``kf_id`` into fixed-size arrays."""
+    K = state.kf_capacity
+    _, kf_mask = covisible_kfs(state, kf_id, n_first, n_second)
+
+    # bounded local KF id list
+    kf_score = jnp.where(kf_mask, 1, 0)
+    _, kf_ids_all = jax.lax.top_k(kf_score * (K - jnp.arange(K)) , max_kfs)
+    kf_ids = jnp.where(kf_mask[kf_ids_all], kf_ids_all, -1)
+
+    # mask of map points observed by local KFs
+    rows = state.kf_mp_idx[jnp.clip(kf_ids, 0, K - 1)]  # [max_kfs, N]
+    rows = jnp.where((kf_ids >= 0)[:, None], rows, -1)
+    M = state.mp_capacity
+    mp_mask = jnp.zeros((M,), bool)
+    mp_mask = mp_mask.at[jnp.where(rows >= 0, rows, M).reshape(-1)].set(True, mode="drop")
+    mp_mask = mp_mask & state.mp_valid
+
+    # compact to max_mps slots: prefer recently created points (higher id)
+    score = jnp.where(mp_mask, 1 + jnp.arange(M, dtype=jnp.int32), 0)
+    top, mp_ids = jax.lax.top_k(score, max_mps)
+    ok = top > 0
+    mp_ids = jnp.where(ok, mp_ids, -1)
+    idc = jnp.clip(mp_ids, 0, M - 1)
+    return LocalMap(
+        mp_ids=mp_ids,
+        pos=state.mp_pos[idc],
+        normal=state.mp_normal[idc],
+        desc=state.mp_desc[idc],
+        min_dist=state.mp_min_dist[idc],
+        max_dist=state.mp_max_dist[idc],
+        valid=ok,
+        kf_ids=kf_ids,
+        kf_mask=kf_mask,
+    )
+
+
+def bump_tracking_counters(
+    state: MapState, local: LocalMap, visible: jnp.ndarray, found: jnp.ndarray
+) -> MapState:
+    """Update per-MP visible/found counters used by culling (reference
+    MapPoint::addMatchInTrack/addInViewInTrack, MapPoint.h:210-253)."""
+    M = state.mp_capacity
+    tgt_v = jnp.where(local.valid & visible, local.mp_ids, M)
+    tgt_f = jnp.where(local.valid & found, local.mp_ids, M)
+    return state._replace(
+        mp_visible=state.mp_visible.at[tgt_v].add(1, mode="drop"),
+        mp_found=state.mp_found.at[tgt_f].add(1, mode="drop"),
+    )

@@ -1,0 +1,343 @@
+"""Device-resident SLAM map: fixed-capacity struct-of-arrays pytrees.
+
+The reference's map is a pointer web — KeyFrame/MapPoint objects with
+observation maps, covisibility dictionaries, spanning-tree pointers and ~20
+mutexes (reference: src/KeyFrame.cc, src/MapPoint.cc, src/Map.cc; SURVEY.md
+§5.2).  The TPU design replaces all of it with padded arrays updated
+functionally inside jit:
+
+- KeyFrame store: poses + full per-KF feature tables ``[K, N]``;
+- the observation graph IS the table ``kf_mp_idx[K, N]`` (map-point id per
+  feature slot, −1 = none) — the reference's per-MP observation map is a
+  bounded reverse index ``mp_obs_kf/mp_obs_feat [M, O]`` maintained alongside;
+- MapPoint store: position, view normal, distilled descriptor, scale range,
+  tracking counters ``[M]``;
+- covisibility: a dense int32 weight matrix ``[K, K]`` updated incrementally
+  per insertion (shared-map-point counts, reference KeyFrame.cc:54-112);
+- spanning tree: parent id per KF (reference KeyFrame.h:180-193).
+
+Slot allocation is a monotone bump pointer + validity masks; erased slots are
+masked, not compacted (XLA static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SLAMConfig
+from ..features.frame import StereoFrame
+from ..geometry import se3
+from ..ops.hamming import hamming_matrix
+
+
+class MapState(NamedTuple):
+    # --- keyframe store [K] ---
+    kf_Tcw: jnp.ndarray        # f32[K, 4, 4]
+    kf_valid: jnp.ndarray      # bool[K]
+    kf_frame_id: jnp.ndarray   # i32[K] source frame index (timestamps)
+    # per-KF feature tables [K, N]
+    kf_uv: jnp.ndarray         # f32[K, N, 2]
+    kf_right_u: jnp.ndarray    # f32[K, N]
+    kf_depth: jnp.ndarray      # f32[K, N]
+    kf_octave: jnp.ndarray     # i32[K, N]
+    kf_angle: jnp.ndarray      # f32[K, N]
+    kf_desc: jnp.ndarray       # u32[K, N, 8]
+    kf_feat_valid: jnp.ndarray  # bool[K, N]
+    kf_mp_idx: jnp.ndarray     # i32[K, N] map-point id per slot (−1 = none)
+    # --- map point store [M] ---
+    mp_pos: jnp.ndarray        # f32[M, 3]
+    mp_normal: jnp.ndarray     # f32[M, 3]
+    mp_desc: jnp.ndarray       # u32[M, 8]
+    mp_min_dist: jnp.ndarray   # f32[M]
+    mp_max_dist: jnp.ndarray   # f32[M]
+    mp_valid: jnp.ndarray      # bool[M]
+    mp_ref_kf: jnp.ndarray     # i32[M]
+    mp_n_obs: jnp.ndarray      # i32[M]
+    mp_visible: jnp.ndarray    # i32[M] tracking "visible" counter (culling)
+    mp_found: jnp.ndarray      # i32[M] tracking "found/matched" counter
+    mp_first_kf: jnp.ndarray   # i32[M] KF id at creation (culling window)
+    # bounded reverse observation index [M, O]
+    mp_obs_kf: jnp.ndarray     # i32[M, O] (−1 = empty)
+    mp_obs_feat: jnp.ndarray   # i32[M, O]
+    # --- graph ---
+    covis: jnp.ndarray         # i32[K, K] shared-MP counts (0 on diagonal)
+    kf_parent: jnp.ndarray     # i32[K] spanning-tree parent (−1 = root)
+    # loop edges, bounded list of KF id pairs
+    loop_edges: jnp.ndarray    # i32[E, 2] (−1 = empty)
+    # --- allocation ---
+    next_kf: jnp.ndarray       # i32[] bump pointer
+    next_mp: jnp.ndarray       # i32[]
+
+    @property
+    def kf_capacity(self) -> int:
+        return self.kf_Tcw.shape[0]
+
+    @property
+    def mp_capacity(self) -> int:
+        return self.mp_pos.shape[0]
+
+
+def empty_map(cfg: SLAMConfig) -> MapState:
+    K = cfg.map.max_keyframes
+    N = cfg.orb.max_keypoints
+    M = cfg.map.max_mappoints
+    O = cfg.map.max_obs_per_mp
+    E = 64
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    return MapState(
+        kf_Tcw=jnp.broadcast_to(jnp.eye(4, dtype=f32), (K, 4, 4)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.full((K,), -1, i32),
+        kf_uv=jnp.zeros((K, N, 2), f32),
+        kf_right_u=jnp.full((K, N), -1.0, f32),
+        kf_depth=jnp.full((K, N), -1.0, f32),
+        kf_octave=jnp.zeros((K, N), i32),
+        kf_angle=jnp.zeros((K, N), f32),
+        kf_desc=jnp.zeros((K, N, 8), u32),
+        kf_feat_valid=jnp.zeros((K, N), bool),
+        kf_mp_idx=jnp.full((K, N), -1, i32),
+        mp_pos=jnp.zeros((M, 3), f32),
+        mp_normal=jnp.zeros((M, 3), f32),
+        mp_desc=jnp.zeros((M, 8), u32),
+        mp_min_dist=jnp.zeros(M, f32),
+        mp_max_dist=jnp.full((M,), 1e9, f32),
+        mp_valid=jnp.zeros(M, bool),
+        mp_ref_kf=jnp.full((M,), -1, i32),
+        mp_n_obs=jnp.zeros(M, i32),
+        mp_visible=jnp.ones(M, i32),
+        mp_found=jnp.ones(M, i32),
+        mp_first_kf=jnp.full((M,), -1, i32),
+        mp_obs_kf=jnp.full((M, O), -1, i32),
+        mp_obs_feat=jnp.full((M, O), -1, i32),
+        covis=jnp.zeros((K, K), i32),
+        kf_parent=jnp.full((K,), -1, i32),
+        loop_edges=jnp.full((E, 2), -1, i32),
+        next_kf=jnp.asarray(0, i32),
+        next_mp=jnp.asarray(0, i32),
+    )
+
+
+# --------------------------------------------------------------------------
+# observation bookkeeping helpers
+# --------------------------------------------------------------------------
+
+def _append_observations(state: MapState, kf_id, mp_ids: jnp.ndarray, feat_ids: jnp.ndarray, mask: jnp.ndarray) -> MapState:
+    """Append (kf_id, feat) to each map point's bounded observation list.
+
+    ``mp_ids/feat_ids/mask [B]``.  Entries beyond the per-MP capacity O are
+    dropped (the covisibility matrix still counts them).
+    """
+    O = state.mp_obs_kf.shape[1]
+    m = jnp.where(mask, mp_ids, state.mp_capacity)  # invalid → scratch row
+    slot = jnp.clip(state.mp_n_obs[jnp.clip(m, 0, state.mp_capacity - 1)], 0, O - 1)
+    # guard the scratch row by clamping ids; writes to masked rows go to a
+    # dummy position via mode="drop"
+    obs_kf = state.mp_obs_kf.at[m, slot].set(
+        jnp.where(mask, kf_id, -1), mode="drop"
+    )
+    obs_feat = state.mp_obs_feat.at[m, slot].set(
+        jnp.where(mask, feat_ids, -1), mode="drop"
+    )
+    n_obs = state.mp_n_obs.at[m].add(jnp.where(mask, 1, 0), mode="drop")
+    return state._replace(mp_obs_kf=obs_kf, mp_obs_feat=obs_feat, mp_n_obs=n_obs)
+
+
+def _distill_descriptors(state: MapState, mp_ids: jnp.ndarray) -> MapState:
+    """Recompute the representative descriptor for the given map points:
+    the observation descriptor with minimal median hamming distance to the
+    others (reference MapPoint::updateDescriptor, MapPoint.cc:336-369).
+
+    ``mp_ids [B]`` may contain duplicates / −1 (ignored via clamping).
+    """
+    O = state.mp_obs_kf.shape[1]
+    ids = jnp.clip(mp_ids, 0, state.mp_capacity - 1)
+    obs_kf = state.mp_obs_kf[ids]      # [B, O]
+    obs_feat = state.mp_obs_feat[ids]  # [B, O]
+    ok = obs_kf >= 0
+    descs = state.kf_desc[jnp.clip(obs_kf, 0, state.kf_capacity - 1),
+                          jnp.clip(obs_feat, 0, state.kf_desc.shape[1] - 1)]  # [B, O, 8]
+
+    def per_mp(desc_set, okm):
+        D = hamming_matrix(desc_set, desc_set)  # [O, O]
+        D = jnp.where(okm[None, :], D, 0)
+        n = jnp.maximum(jnp.sum(okm), 1)
+        # median over valid columns ≈ sorted value at n//2 (invalid cols sorted
+        # to front as 0; shift index by number of invalid)
+        Ds = jnp.sort(jnp.where(okm[None, :], D, -1), axis=1)
+        med_idx = (O - n) + n // 2
+        med = Ds[:, jnp.clip(med_idx, 0, O - 1)]
+        med = jnp.where(okm, med, jnp.iinfo(jnp.int32).max)
+        best = jnp.argmin(med)
+        return desc_set[best]
+
+    new_desc = jax.vmap(per_mp)(descs, ok)
+    valid = (mp_ids >= 0) & (jnp.sum(ok, axis=1) > 0)
+    mp_desc = state.mp_desc.at[jnp.where(valid, mp_ids, state.mp_capacity)].set(new_desc, mode="drop")
+    return state._replace(mp_desc=mp_desc)
+
+
+def _update_normals_and_depth(state: MapState, mp_ids: jnp.ndarray, scale_factor: float, n_levels: int) -> MapState:
+    """Mean viewing direction + scale-invariance distance range from the
+    reference KF octave (reference MapPoint::updateNormalAndDepth,
+    MapPoint.cc:71-90, 429-484)."""
+    ids = jnp.clip(mp_ids, 0, state.mp_capacity - 1)
+    obs_kf = state.mp_obs_kf[ids]  # [B, O]
+    ok = obs_kf >= 0
+    kfc = jnp.clip(obs_kf, 0, state.kf_capacity - 1)
+    R = state.kf_Tcw[kfc][..., :3, :3]
+    t = state.kf_Tcw[kfc][..., :3, 3]
+    Twc_t = -jnp.einsum("...ji,...j->...i", R, t)  # [B, O, 3] camera centres
+    pos = state.mp_pos[ids][:, None, :]  # [B, 1, 3]
+    rays = pos - Twc_t
+    norms = jnp.linalg.norm(rays, axis=-1)
+    rays_u = rays / jnp.maximum(norms, 1e-9)[..., None]
+    mean_dir = jnp.sum(jnp.where(ok[..., None], rays_u, 0.0), axis=1)
+    mean_dir = mean_dir / jnp.maximum(jnp.linalg.norm(mean_dir, axis=-1, keepdims=True), 1e-9)
+
+    # distance range from the reference KF (first observation)
+    ref_kf = jnp.clip(state.mp_ref_kf[ids], 0, state.kf_capacity - 1)
+    ref_feat_octave = jnp.zeros_like(ids)
+    # locate the octave of the observation in the reference KF: use obs 0
+    feat0 = jnp.clip(state.mp_obs_feat[ids][:, 0], 0, state.kf_octave.shape[1] - 1)
+    kf0 = jnp.clip(state.mp_obs_kf[ids][:, 0], 0, state.kf_capacity - 1)
+    octave0 = state.kf_octave[kf0, feat0]
+    Tcw0 = state.kf_Tcw[kf0]
+    centre0 = -jnp.einsum("bij,bj->bi", jnp.swapaxes(Tcw0[:, :3, :3], -1, -2), Tcw0[:, :3, 3])
+    dist0 = jnp.linalg.norm(state.mp_pos[ids] - centre0, axis=-1)
+    level_scale = jnp.power(jnp.float32(scale_factor), octave0.astype(jnp.float32))
+    max_dist = dist0 * level_scale
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+
+    valid = mp_ids >= 0
+    tgt = jnp.where(valid, mp_ids, state.mp_capacity)
+    return state._replace(
+        mp_normal=state.mp_normal.at[tgt].set(mean_dir, mode="drop"),
+        mp_max_dist=state.mp_max_dist.at[tgt].set(max_dist, mode="drop"),
+        mp_min_dist=state.mp_min_dist.at[tgt].set(min_dist, mode="drop"),
+    )
+
+
+def _covis_row_for_kf(state: MapState, kf_id) -> jnp.ndarray:
+    """Shared-map-point counts between ``kf_id`` and every other KF, computed
+    from the reverse observation index of the KF's own map points
+    (reference KeyFrame::updateConnections, KeyFrame.cc:54-112)."""
+    K = state.kf_capacity
+    mp = state.kf_mp_idx[kf_id]                      # [N]
+    has = mp >= 0
+    ids = jnp.clip(mp, 0, state.mp_capacity - 1)
+    obs = state.mp_obs_kf[ids]                       # [N, O]
+    ok = has[:, None] & (obs >= 0) & (obs != kf_id)
+    flat = jnp.where(ok, obs, K)                     # overflow row dropped
+    counts = jnp.zeros((K + 1,), jnp.int32).at[flat.reshape(-1)].add(1)
+    return counts[:K]
+
+
+# --------------------------------------------------------------------------
+# keyframe insertion
+# --------------------------------------------------------------------------
+
+def insert_keyframe(
+    state: MapState,
+    frame: StereoFrame,
+    Tcw: jnp.ndarray,
+    tracked_mp: jnp.ndarray,
+    frame_id,
+    cam,
+    *,
+    depth_threshold: float,
+    scale_factor: float,
+    n_levels: int,
+    min_covis_weight: int = 15,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Insert a keyframe (functional).  Mirrors Tracking::insertKeyFrame +
+    LocalMapping::processNewKeyFrame (reference Tracking.cc:167-185,
+    LocalMapping.cc:121-148):
+
+    1. copy the frame's feature table into the KF store;
+    2. attach tracked map points (``tracked_mp[n]`` = MP id from local-map
+       tracking, −1 otherwise) as observations;
+    3. create NEW map points from stereo depth for close (< depth_threshold)
+       unmatched features (reference Tracking.cc:754-789 close-point logic);
+    4. refresh distilled descriptors / normals / distance ranges of every
+       touched map point;
+    5. update the covisibility row and spanning-tree parent.
+
+    Returns (new_state, kf_id).
+    """
+    k = state.next_kf
+    N = frame.feats.capacity
+
+    st = state._replace(
+        kf_Tcw=state.kf_Tcw.at[k].set(Tcw),
+        kf_valid=state.kf_valid.at[k].set(True),
+        kf_frame_id=state.kf_frame_id.at[k].set(frame_id),
+        kf_uv=state.kf_uv.at[k].set(frame.feats.uv),
+        kf_right_u=state.kf_right_u.at[k].set(frame.right_u),
+        kf_depth=state.kf_depth.at[k].set(frame.depth),
+        kf_octave=state.kf_octave.at[k].set(frame.feats.octave),
+        kf_angle=state.kf_angle.at[k].set(frame.feats.angle),
+        kf_desc=state.kf_desc.at[k].set(frame.feats.desc),
+        kf_feat_valid=state.kf_feat_valid.at[k].set(frame.feats.valid),
+        next_kf=state.next_kf + 1,
+    )
+
+    # -- 2. attach tracked map points --------------------------------------
+    feat_ids = jnp.arange(N, dtype=jnp.int32)
+    tracked_ok = (tracked_mp >= 0) & frame.feats.valid
+    tracked_ok = tracked_ok & st.mp_valid[jnp.clip(tracked_mp, 0, st.mp_capacity - 1)]
+    st = st._replace(kf_mp_idx=st.kf_mp_idx.at[k].set(jnp.where(tracked_ok, tracked_mp, -1)))
+    st = _append_observations(st, k, tracked_mp, feat_ids, tracked_ok)
+
+    # -- 3. create new map points from close stereo depth ------------------
+    close = frame.feats.valid & (frame.depth > 0) & (frame.depth < depth_threshold) & (~tracked_ok)
+    n_new = jnp.cumsum(close.astype(jnp.int32)) - 1
+    new_ids = jnp.where(close, state.next_mp + n_new, -1)
+    cap_ok = new_ids < st.mp_capacity
+    close = close & cap_ok
+    new_ids = jnp.where(close, new_ids, -1)
+
+    from ..geometry.camera import unproject as cam_unproject  # local import to avoid cycle
+
+    depth = jnp.where(close, frame.depth, 1.0)
+    pc = cam_unproject(cam, frame.feats.uv, depth)
+    Twc = se3.inverse(Tcw)
+    pw = se3.apply(Twc, pc)
+    centre = se3.t_of(Twc)
+    normal0 = pw - centre
+    normal0 = normal0 / jnp.maximum(jnp.linalg.norm(normal0, axis=-1, keepdims=True), 1e-9)
+
+    tgt = jnp.where(close, new_ids, st.mp_capacity)
+    st = st._replace(
+        mp_pos=st.mp_pos.at[tgt].set(pw, mode="drop"),
+        mp_normal=st.mp_normal.at[tgt].set(normal0, mode="drop"),
+        mp_valid=st.mp_valid.at[tgt].set(True, mode="drop"),
+        mp_ref_kf=st.mp_ref_kf.at[tgt].set(k, mode="drop"),
+        mp_first_kf=st.mp_first_kf.at[tgt].set(k, mode="drop"),
+        mp_desc=st.mp_desc.at[tgt].set(frame.feats.desc, mode="drop"),
+        mp_n_obs=st.mp_n_obs.at[tgt].set(0, mode="drop"),
+        mp_visible=st.mp_visible.at[tgt].set(1, mode="drop"),
+        mp_found=st.mp_found.at[tgt].set(1, mode="drop"),
+        mp_obs_kf=st.mp_obs_kf.at[tgt].set(-1, mode="drop"),
+        mp_obs_feat=st.mp_obs_feat.at[tgt].set(-1, mode="drop"),
+        next_mp=jnp.minimum(state.next_mp + jnp.sum(close.astype(jnp.int32)), st.mp_capacity),
+    )
+    st = st._replace(kf_mp_idx=st.kf_mp_idx.at[k].set(jnp.where(close, new_ids, st.kf_mp_idx[k])))
+    st = _append_observations(st, k, new_ids, feat_ids, close)
+
+    touched = jnp.where(close, new_ids, jnp.where(tracked_ok, tracked_mp, -1))
+    st = _distill_descriptors(st, touched)
+    st = _update_normals_and_depth(st, touched, scale_factor, n_levels)
+
+    # -- 5. covisibility + spanning tree -----------------------------------
+    row = _covis_row_for_kf(st, k)
+    covis = st.covis.at[k, :].set(row).at[:, k].set(row)
+    parent = jnp.argmax(row)
+    parent_ok = (row[parent] >= min_covis_weight) & (state.next_kf > 0)
+    st = st._replace(
+        covis=covis,
+        kf_parent=st.kf_parent.at[k].set(jnp.where(parent_ok, parent, -1)),
+    )
+    return st, k

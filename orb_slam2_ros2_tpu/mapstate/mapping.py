@@ -1,0 +1,323 @@
+"""Local-mapping ops: new-point triangulation, fuse, culling — all batched.
+
+The reference's LocalMapping thread walks candidate keyframe pairs and
+features one at a time (reference: src/LocalMapping.cc — createNewMapPoints
+:165-339, fuseMapPoints :352-405, cullingMapPoints :674-714).  Here each
+operation is one jitted program over padded arrays:
+
+- triangulation candidates = dense hamming match between the new KF's
+  unmatched features and each of the top-k covisible KFs' unmatched features,
+  epipolar-gated, all pairs at once;
+- the parallax-vs-stereo-depth choice, DLT solve, positive-depth /
+  reprojection / scale-consistency checks run vectorized over every candidate;
+- fuse = batched projection matching of neighbour map points into the new
+  keyframe with observation-count-based merge.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3, triangulate as tri
+from ..geometry.camera import CameraParams, project
+from ..ops.hamming import hamming_matrix
+from .map_state import MapState, _append_observations, _covis_row_for_kf, _distill_descriptors, _update_normals_and_depth
+
+
+def _fundamental_from_poses(cam: CameraParams, Tcw1: jnp.ndarray, Tcw2: jnp.ndarray) -> jnp.ndarray:
+    """F21 such that x2ᵀ F21 x1 = 0 for pixel homogeneous coords."""
+    T21 = Tcw2 @ se3.inverse(Tcw1)
+    R, t = se3.R_of(T21), se3.t_of(T21)
+    E = se3.hat(t) @ R
+    K = cam.K
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ E @ Kinv
+
+
+def triangulate_new_points(
+    state: MapState,
+    kf_id,
+    cam: CameraParams,
+    *,
+    n_neighbors: int = 10,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    baseline: float,
+    max_dist: int = 50,
+    ratio: float = 0.6,
+    rank_gate: float = 1e-3,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+) -> MapState:
+    """Create new map points by triangulating the new KF against its top
+    covisible neighbours (reference createNewMapPoints, LocalMapping.cc:165-339).
+
+    For each neighbour (static unrolled loop over ``n_neighbors``):
+    baseline gate → dense hamming match of *unmatched* features with epipolar
+    gate → parallax choice (triangulate vs stereo unproject) → quality gates →
+    allocate new map points with observations in both keyframes.
+    """
+    N = state.kf_uv.shape[1]
+    K = state.kf_capacity
+    w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
+    _, nb_ids = jax.lax.top_k(w, n_neighbors)
+    nb_w = w[nb_ids]
+
+    Tcw1 = state.kf_Tcw[kf_id]
+    Twc1 = se3.inverse(Tcw1)
+    c1 = se3.t_of(Twc1)
+    uv1 = state.kf_uv[kf_id]
+    oct1 = state.kf_octave[kf_id]
+    desc1 = state.kf_desc[kf_id]
+    depth1 = state.kf_depth[kf_id]
+    ru1 = state.kf_right_u[kf_id]
+    free1 = state.kf_feat_valid[kf_id] & (state.kf_mp_idx[kf_id] < 0)
+
+    st = state
+    for j in range(n_neighbors):
+        kn = nb_ids[j]
+        ok_nb = (nb_w[j] > 0) & (kn != kf_id)
+        Tcw2 = st.kf_Tcw[kn]
+        Twc2 = se3.inverse(Tcw2)
+        c2 = se3.t_of(Twc2)
+        base_ok = jnp.linalg.norm(c2 - c1) > baseline  # LocalMapping.cc:190-199
+
+        uv2 = st.kf_uv[kn]
+        oct2 = st.kf_octave[kn]
+        desc2 = st.kf_desc[kn]
+        depth2 = st.kf_depth[kn]
+        free2 = st.kf_feat_valid[kn] & (st.kf_mp_idx[kn] < 0)
+
+        # --- dense epipolar-gated matching (replaces BoW-accelerated
+        # searchForTriangulation, ORBMatcher.cc:736-778) ------------------
+        dist = hamming_matrix(desc1, desc2)
+        F21 = _fundamental_from_poses(cam, Tcw1, Tcw2)
+        x1h = jnp.concatenate([uv1, jnp.ones((N, 1))], axis=1)
+        lines = x1h @ F21.T  # [N, 3]: epipolar line of each feat1 in image 2
+        x2h = jnp.concatenate([uv2, jnp.ones((N, 1))], axis=1)
+        num = jnp.abs(lines @ x2h.T)  # [N1, N2]
+        den = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[:, None]
+        d_epi2 = (num / jnp.maximum(den, 1e-9)) ** 2
+        sigma2_2 = jnp.power(jnp.float32(scale_factor * scale_factor), oct2.astype(jnp.float32))
+        epi_ok = d_epi2 < 3.84 * sigma2_2[None, :]
+
+        cand = free1[:, None] & free2[None, :] & epi_ok
+        masked = jnp.where(cand, dist, 1 << 20)
+        neg2, idx2 = jax.lax.top_k(-masked, 2)
+        best, second = -neg2[:, 0], -neg2[:, 1]
+        bj = idx2[:, 0]
+        m_ok = (best <= max_dist) & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+        m_ok = m_ok & ok_nb & base_ok
+
+        # --- parallax choice & triangulation ------------------------------
+        uv2m = uv2[bj]
+        oct2m = oct2[bj]
+        depth2m = depth2[bj]
+        n1 = jnp.stack([(uv1[:, 0] - cam.cx) / cam.fx, (uv1[:, 1] - cam.cy) / cam.fy], axis=1)
+        n2 = jnp.stack([(uv2m[:, 0] - cam.cx) / cam.fx, (uv2m[:, 1] - cam.cy) / cam.fy], axis=1)
+        T1b = jnp.broadcast_to(Tcw1, (N, 4, 4))
+        T2b = jnp.broadcast_to(Tcw2, (N, 4, 4))
+        cos_par = tri.parallax_cos(T1b, n1, T2b, n2)
+        # stereo-parallax references (LocalMapping.cc:231-259): prefer
+        # triangulation when the two-view parallax beats the stereo one
+        cos_stereo1 = jnp.where(depth1 > 0, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, jnp.maximum(depth1, 1e-6))), 2.0)
+        cos_stereo2 = jnp.where(depth2m > 0, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, jnp.maximum(depth2m, 1e-6))), 2.0)
+        cos_stereo = jnp.minimum(cos_stereo1, cos_stereo2)
+        use_tri = (cos_par < cos_stereo) & (cos_par > 0) & (cos_par < 0.9998)
+
+        pw_tri, tri_ok = tri.triangulate_pairs(cam, T1b, uv1, T2b, uv2m, rank_gate)
+        # stereo fallback: unproject from whichever KF has depth
+        from ..geometry.camera import unproject as cam_unproject
+
+        pw_s1 = se3.apply(Twc1, cam_unproject(cam, uv1, jnp.maximum(depth1, 1e-6)))
+        pw_s2 = se3.apply(Twc2, cam_unproject(cam, uv2m, jnp.maximum(depth2m, 1e-6)))
+        use_s1 = (~use_tri) & (cos_stereo1 <= cos_stereo2) & (depth1 > 0)
+        use_s2 = (~use_tri) & (~use_s1) & (depth2m > 0)
+        pw = jnp.where(use_tri[:, None], pw_tri, jnp.where(use_s1[:, None], pw_s1, pw_s2))
+        has_pw = jnp.where(use_tri, tri_ok, use_s1 | use_s2)
+
+        # --- quality gates (checkMapPoint, MapPoint.cc:384-420) -----------
+        pc1 = se3.apply(Tcw1, pw)
+        pc2 = se3.apply(Tcw2, pw)
+        z_ok = (pc1[:, 2] > 0) & (pc2[:, 2] > 0)
+        uvp1, _ = project(cam, pc1)
+        uvp2, _ = project(cam, pc2)
+        sigma2_1 = jnp.power(jnp.float32(scale_factor * scale_factor), oct1.astype(jnp.float32))
+        e1 = jnp.sum((uvp1 - uv1) ** 2, axis=1) / sigma2_1
+        e2 = jnp.sum((uvp2 - uv2m) ** 2, axis=1) / jnp.power(jnp.float32(scale_factor * scale_factor), oct2m.astype(jnp.float32))
+        reproj_ok = (e1 < chi2_mono) & (e2 < chi2_mono)
+        d1 = jnp.linalg.norm(pw - c1, axis=1)
+        d2 = jnp.linalg.norm(pw - c2, axis=1)
+        ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+        ratio_octave = jnp.power(jnp.float32(scale_factor), (oct2m - oct1).astype(jnp.float32))
+        ratio_factor = 1.5 * scale_factor
+        scale_ok = (ratio_dist < ratio_octave * ratio_factor) & (ratio_dist * ratio_factor > ratio_octave)
+
+        create = m_ok & has_pw & z_ok & reproj_ok & scale_ok & (d1 > 1e-6) & (d2 > 1e-6)
+
+        # --- allocate ------------------------------------------------------
+        n_new = jnp.cumsum(create.astype(jnp.int32)) - 1
+        new_ids = jnp.where(create, st.next_mp + n_new, -1)
+        create = create & (new_ids < st.mp_capacity)
+        new_ids = jnp.where(create, new_ids, -1)
+        tgt = jnp.where(create, new_ids, st.mp_capacity)
+        feat_ids = jnp.arange(N, dtype=jnp.int32)
+        st = st._replace(
+            mp_pos=st.mp_pos.at[tgt].set(pw, mode="drop"),
+            mp_desc=st.mp_desc.at[tgt].set(desc1, mode="drop"),
+            mp_valid=st.mp_valid.at[tgt].set(True, mode="drop"),
+            mp_ref_kf=st.mp_ref_kf.at[tgt].set(kf_id, mode="drop"),
+            mp_first_kf=st.mp_first_kf.at[tgt].set(kf_id, mode="drop"),
+            mp_n_obs=st.mp_n_obs.at[tgt].set(0, mode="drop"),
+            mp_visible=st.mp_visible.at[tgt].set(1, mode="drop"),
+            mp_found=st.mp_found.at[tgt].set(1, mode="drop"),
+            mp_obs_kf=st.mp_obs_kf.at[tgt].set(-1, mode="drop"),
+            mp_obs_feat=st.mp_obs_feat.at[tgt].set(-1, mode="drop"),
+            next_mp=jnp.minimum(st.next_mp + jnp.sum(create.astype(jnp.int32)), st.mp_capacity),
+        )
+        st = st._replace(
+            kf_mp_idx=st.kf_mp_idx.at[kf_id].set(jnp.where(create, new_ids, st.kf_mp_idx[kf_id]))
+        )
+        # neighbour-side slots: scatter (feature bj of kn) ← new mp
+        tgt_feat = jnp.where(create, bj, N)
+        st = st._replace(
+            kf_mp_idx=st.kf_mp_idx.at[kn, tgt_feat].set(jnp.where(create, new_ids, -1), mode="drop")
+        )
+        st = _append_observations(st, kf_id, new_ids, feat_ids, create)
+        st = _append_observations(st, kn, new_ids, bj, create)
+        st = _distill_descriptors(st, new_ids)
+        st = _update_normals_and_depth(st, new_ids, scale_factor, n_levels)
+        # free1 must exclude features just consumed
+        free1 = free1 & ~create
+
+    # refresh covisibility of the new KF after creation
+    row = _covis_row_for_kf(st, kf_id)
+    covis = st.covis.at[kf_id, :].set(row).at[:, kf_id].set(row)
+    return st._replace(covis=covis)
+
+
+def cull_mappoints(state: MapState, current_kf) -> MapState:
+    """Remove low-quality map points (reference cullingMapPoints,
+    LocalMapping.cc:674-714): found/visible < 0.25, or still <2 observations
+    2 keyframes after creation.  Culled slots are invalidated and their
+    keyframe feature slots cleared."""
+    score = state.mp_found.astype(jnp.float32) / jnp.maximum(state.mp_visible.astype(jnp.float32), 1.0)
+    young = state.mp_first_kf >= 0
+    bad_score = score < 0.25
+    bad_obs = (current_kf >= state.mp_first_kf + 2) & (state.mp_n_obs < 2)
+    cull = state.mp_valid & young & (bad_score | bad_obs)
+
+    # clear kf_mp_idx entries of culled points via their observation lists
+    obs_kf = jnp.where(cull[:, None], state.mp_obs_kf, -1)
+    obs_feat = state.mp_obs_feat
+    K = state.kf_capacity
+    N = state.kf_mp_idx.shape[1]
+    flat_kf = jnp.where(obs_kf >= 0, obs_kf, K).reshape(-1)
+    flat_feat = jnp.clip(obs_feat, 0, N - 1).reshape(-1)
+    kf_mp_idx = state.kf_mp_idx.at[flat_kf, flat_feat].set(-1, mode="drop")
+    return state._replace(
+        mp_valid=state.mp_valid & ~cull,
+        kf_mp_idx=kf_mp_idx,
+    )
+
+
+def fuse_into_keyframe(
+    state: MapState,
+    kf_id,
+    cam: CameraParams,
+    *,
+    width: int,
+    height: int,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    th: float = 3.0,
+    max_dist: int = 50,
+    max_fuse: int = 4096,
+) -> MapState:
+    """Project neighbouring keyframes' map points into ``kf_id`` and either
+    attach them to unmatched features or merge duplicates — the reference's
+    two fuse passes collapsed into one batched op (reference fuseMapPoints,
+    LocalMapping.cc:352-405 + ORBMatcher::fuse :623-724).
+
+    Merge rule: when a projected point matches a feature that already holds a
+    different map point, the one with more observations absorbs the other
+    (reference MapPoint::replace semantics, MapPoint.cc:213-233) — here the
+    loser is invalidated and its slots are repointed.
+    """
+    from ..matching.matcher import search_mappoints_projection
+    from ..features.frame import FrameFeatures
+
+    K = state.kf_capacity
+    N = state.kf_uv.shape[1]
+    M = state.mp_capacity
+
+    # candidate set: map points of the 2-ring neighbourhood (bounded)
+    from .local_map import local_map_snapshot
+
+    local = local_map_snapshot(state, kf_id, n_first=10, n_second=5, max_kfs=32, max_mps=max_fuse)
+
+    feats = FrameFeatures(
+        uv=state.kf_uv[kf_id],
+        uv_raw=state.kf_uv[kf_id],
+        octave=state.kf_octave[kf_id],
+        response=jnp.ones((N,), jnp.float32),
+        angle=state.kf_angle[kf_id],
+        desc=state.kf_desc[kf_id],
+        valid=state.kf_feat_valid[kf_id],
+    )
+    cur_mp = state.kf_mp_idx[kf_id]
+    # exclude the KF's own points from the candidate set
+    own = jnp.zeros((M,), bool).at[jnp.where(cur_mp >= 0, cur_mp, M)].set(True, mode="drop")
+    cand_valid = local.valid & ~own[jnp.clip(local.mp_ids, 0, M - 1)]
+
+    m = search_mappoints_projection(
+        cam, state.kf_Tcw[kf_id],
+        local.pos, local.normal, local.min_dist, local.max_dist, local.desc,
+        cand_valid, feats, jnp.zeros((N,), bool),
+        th=th, width=width, height=height, scale_factor=scale_factor,
+        n_levels=n_levels, max_dist=max_dist, ratio=0.6, exclude_taken=False,
+    )
+    # per-local-mp match into this KF
+    found = m.idx >= 0
+    fj = jnp.clip(m.idx, 0, N - 1)
+    mp_new = local.mp_ids                      # candidate point [L]
+    mp_old = cur_mp[fj]                        # existing point at that slot [L]
+
+    # case A: slot empty → attach observation
+    attach = found & (mp_old < 0)
+    st = state._replace(
+        kf_mp_idx=state.kf_mp_idx.at[kf_id, jnp.where(attach, fj, N)].set(
+            jnp.where(attach, mp_new, -1), mode="drop"
+        )
+    )
+    st = _append_observations(st, kf_id, mp_new, fj, attach)
+
+    # case B: slot occupied by another point → merge into the better-observed
+    merge = found & (mp_old >= 0) & (mp_old != mp_new)
+    n_new = st.mp_n_obs[jnp.clip(mp_new, 0, M - 1)]
+    n_old = st.mp_n_obs[jnp.clip(mp_old, 0, M - 1)]
+    winner = jnp.where(n_new >= n_old, mp_new, mp_old)
+    loser = jnp.where(n_new >= n_old, mp_old, mp_new)
+    # repoint every observation slot of the loser to the winner
+    lid = jnp.where(merge, loser, M)
+    lcl = jnp.clip(lid, 0, M - 1)
+    lo_kf = jnp.where(merge[:, None], st.mp_obs_kf[lcl], -1)
+    lo_feat = st.mp_obs_feat[lcl]
+    flat_kf = jnp.where(lo_kf >= 0, lo_kf, K).reshape(-1)
+    flat_feat = jnp.clip(lo_feat, 0, N - 1).reshape(-1)
+    winner_b = jnp.broadcast_to(winner[:, None], lo_kf.shape).reshape(-1)
+    kf_mp_idx = st.kf_mp_idx.at[flat_kf, flat_feat].set(winner_b, mode="drop")
+    mp_valid = st.mp_valid.at[lid].set(False, mode="drop")
+    st = st._replace(kf_mp_idx=kf_mp_idx, mp_valid=mp_valid)
+    # NOTE: the winner's observation list is NOT extended with the loser's
+    # slots (bounded capacity); covisibility recount below restores weights.
+
+    touched = jnp.where(found, mp_new, -1)
+    st = _distill_descriptors(st, touched)
+    st = _update_normals_and_depth(st, touched, scale_factor, n_levels)
+    row = _covis_row_for_kf(st, kf_id)
+    covis = st.covis.at[kf_id, :].set(row).at[:, kf_id].set(row)
+    return st._replace(covis=covis)

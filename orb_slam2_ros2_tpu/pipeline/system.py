@@ -1,0 +1,353 @@
+"""The SLAM system: full tracking + local mapping over the device-resident map.
+
+Replaces the reference's System + Tracking + LocalMapping thread trio
+(reference: src/System.cc:81-135, src/Tracking.cc, src/LocalMapping.cc) with a
+host orchestrator sequencing a handful of fused jitted programs:
+
+- ``_track``: frontend → motion-model match+opt → local-map match+opt →
+  per-feature map-point assignment, one XLA program per frame;
+- ``insert_keyframe`` + ``triangulate_new_points`` + ``fuse_into_keyframe`` +
+  ``cull_mappoints`` (+ local BA, solvers.local_ba) run on keyframe insertion
+  — the reference's LocalMapping::runOnce pipeline, amortized exactly like
+  the reference's mapping thread but without shared-mutable state.
+
+The reference's thread/mutex machinery (SURVEY.md §5.2) has no counterpart:
+every step is a pure function from state to state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SLAMConfig
+from ..features.extractor import make_stereo_frontend, make_rgbd_frontend
+from ..features.frame import StereoFrame
+from ..geometry import se3
+from ..geometry.camera import CameraParams, unproject
+from ..mapstate.local_map import LocalMap, bump_tracking_counters, local_map_snapshot
+from ..mapstate.map_state import MapState, empty_map, insert_keyframe
+from ..mapstate.mapping import cull_mappoints, fuse_into_keyframe, triangulate_new_points
+from ..matching import matcher
+from ..solvers.pose_opt import PoseObs, optimize_pose
+from .tracking import TrackState
+
+
+class SlamFrame(NamedTuple):
+    """Per-frame tracking result kept as 'last frame' state."""
+
+    frame: StereoFrame
+    Tcw: jnp.ndarray
+    mp_ids: jnp.ndarray   # i32[N] map point per feature (−1 = none)
+
+
+def _octave_inv_sigma2(octave: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
+    return jnp.power(jnp.float32(1.0 / (scale_factor * scale_factor)), octave.astype(jnp.float32))
+
+
+def slam_track_step(
+    cam: CameraParams,
+    cur: StereoFrame,
+    last: SlamFrame,
+    velocity: jnp.ndarray,
+    local: LocalMap,
+    mp_pos: jnp.ndarray,
+    mp_valid: jnp.ndarray,
+    *,
+    radius: float,
+    proj_th: float,
+    scale_factor: float,
+    n_levels: int,
+    baseline: float,
+    width: int,
+    height: int,
+    max_dist: int,
+    ratio_track: float,
+    chi2_mono: float,
+    chi2_stereo: float,
+    depth_threshold: float,
+):
+    """One full tracking step (motion model + local map).
+
+    Mirrors Tracking::trackMotionModel + trackLocalMap
+    (reference Tracking.cc:381-406, :641-675) as one program.  Returns the new
+    frame state and scalar diagnostics, plus visible/found masks aligned with
+    ``local`` for the map's tracking counters.
+    """
+    N = cur.feats.capacity
+    Tcw_pred = velocity @ last.Tcw
+
+    # ---------- stage 1: motion-model match against the last frame --------
+    last_has_mp = last.mp_ids >= 0
+    # temp 3D for last frame features without map points (processLastFrame,
+    # Tracking.cc:685-694): stereo unprojection at the last pose
+    last_depth_ok = last.frame.feats.valid & (last.frame.depth > 0)
+    pc_last = unproject(cam, last.frame.feats.uv, jnp.where(last_depth_ok, last.frame.depth, 1.0))
+    pw_temp = se3.apply(se3.inverse(last.Tcw), pc_last)
+    pw_last = jnp.where(
+        last_has_mp[:, None], mp_pos[jnp.clip(last.mp_ids, 0, mp_pos.shape[0] - 1)], pw_temp
+    )
+    prev_usable = last_has_mp | last_depth_ok
+
+    twc_cur = se3.t_of(se3.inverse(Tcw_pred))
+    z_forward = se3.apply(last.Tcw, twc_cur[None])[0, 2]
+    m1 = matcher.search_by_area(
+        last.frame.feats, prev_usable, cur.feats, jnp.zeros((N,), bool), z_forward,
+        radius=radius, scale_factor=scale_factor, n_levels=n_levels,
+        baseline=baseline, max_dist=max_dist, ratio=ratio_track,
+    )
+    c1 = jnp.maximum(m1.idx, 0)
+    obs1 = PoseObs(
+        pw=pw_last,
+        uv=cur.feats.uv[c1],
+        right_u=cur.right_u[c1],
+        inv_sigma2=_octave_inv_sigma2(cur.feats.octave[c1], scale_factor),
+        is_stereo=cur.right_u[c1] > 0,
+        valid=m1.found,
+    )
+    Tcw1, inl1, n_in1 = optimize_pose(cam, Tcw_pred, obs1, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo)
+    n_m1 = jnp.sum(m1.found.astype(jnp.int32))
+
+    # per-current-feature mp assignment inherited from the last frame
+    cur_mp = jnp.full((N,), -1, jnp.int32)
+    src_mp = jnp.where(m1.found & last_has_mp, last.mp_ids, -1)
+    cur_mp = cur_mp.at[jnp.where(src_mp >= 0, c1, N)].set(
+        jnp.where(src_mp >= 0, src_mp, -1), mode="drop"
+    )
+
+    # ---------- stage 2: local-map projection matching --------------------
+    m2 = matcher.search_mappoints_projection(
+        cam, Tcw1,
+        local.pos, local.normal, local.min_dist, local.max_dist, local.desc,
+        local.valid & mp_valid[jnp.clip(local.mp_ids, 0, mp_pos.shape[0] - 1)],
+        cur.feats, cur_mp >= 0,
+        th=proj_th, width=width, height=height, scale_factor=scale_factor,
+        n_levels=n_levels, max_dist=max_dist, ratio=0.8,
+    )
+    c2 = jnp.clip(m2.idx, 0, N - 1)
+    cur_mp = cur_mp.at[jnp.where(m2.found, c2, N)].set(
+        jnp.where(m2.found, local.mp_ids, -1), mode="drop"
+    )
+
+    # visibility bookkeeping for culling counters
+    from ..matching.matcher import mappoint_visibility
+
+    _, visible, _, _ = mappoint_visibility(
+        cam, Tcw1, local.pos, local.normal, local.min_dist, local.max_dist,
+        width=width, height=height, scale_factor=scale_factor, n_levels=n_levels,
+    )
+    visible = visible & local.valid
+
+    # ---------- stage 3: pose refinement on the full map-point set --------
+    has_mp = cur_mp >= 0
+    mp_c = jnp.clip(cur_mp, 0, mp_pos.shape[0] - 1)
+    # keep temp-point motion matches in the refinement as mono/stereo anchors
+    temp_obs_pw = jnp.zeros((N, 3), jnp.float32)
+    temp_valid = jnp.zeros((N,), bool)
+    temp_obs_pw = temp_obs_pw.at[jnp.where(m1.found & ~(src_mp >= 0), c1, N)].set(
+        pw_last, mode="drop"
+    )
+    temp_valid = temp_valid.at[jnp.where(m1.found & ~(src_mp >= 0), c1, N)].set(True, mode="drop")
+    pw_all = jnp.where(has_mp[:, None], mp_pos[mp_c], temp_obs_pw)
+    obs_valid = (has_mp | temp_valid) & cur.feats.valid
+    obs2 = PoseObs(
+        pw=pw_all,
+        uv=cur.feats.uv,
+        right_u=cur.right_u,
+        inv_sigma2=_octave_inv_sigma2(cur.feats.octave, scale_factor),
+        is_stereo=cur.right_u > 0,
+        valid=obs_valid,
+    )
+    Tcw2, inlier2, n_in2 = optimize_pose(cam, Tcw1, obs2, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo)
+    n_tracked = jnp.sum((inlier2 & has_mp).astype(jnp.int32))
+
+    # drop outlier map-point assignments (reference post-filter, Optimizer.cc:188-200)
+    cur_mp = jnp.where(inlier2 | ~has_mp, cur_mp, -1)
+
+    # found mask aligned with `local`: local mp matched AND inlier
+    found_local = m2.found & inlier2[c2]
+    # plus: inherited matches — map via membership check (cheap: mark cur_mp)
+    M = mp_pos.shape[0]
+    matched_mask = jnp.zeros((M,), bool).at[
+        jnp.where((cur_mp >= 0) & inlier2, cur_mp, M)
+    ].set(True, mode="drop")
+    found_local = found_local | matched_mask[jnp.clip(local.mp_ids, 0, M - 1)]
+
+    # keyframe-decision scalars (Tracking.cc:721-804)
+    close = cur.feats.valid & (cur.depth > 0) & (cur.depth < depth_threshold)
+    n_close_tracked = jnp.sum((close & has_mp & inlier2).astype(jnp.int32))
+    n_close_untracked = jnp.sum((close & ~has_mp).astype(jnp.int32))
+
+    velocity_new = Tcw2 @ se3.inverse(last.Tcw)
+    new_state = SlamFrame(frame=cur, Tcw=Tcw2, mp_ids=cur_mp)
+    stats = dict(
+        n_motion_matches=n_m1, n_motion_inliers=n_in1,
+        n_tracked=n_tracked, n_inliers=n_in2,
+        n_close_tracked=n_close_tracked, n_close_untracked=n_close_untracked,
+    )
+    return new_state, velocity_new, Tcw2, stats, visible, found_local
+
+
+class SLAM:
+    """Full SLAM pipeline (tracking + local mapping) — the reference's
+    ``System`` API: construct, call ``track(left, right)`` per frame
+    (reference System::EstimatePose, System.h:55-61)."""
+
+    def __init__(self, cfg: SLAMConfig, rgbd: bool = False):
+        self.cfg = cfg
+        self.cam = CameraParams.from_config(cfg.camera)
+        self.rgbd = rgbd
+        o, c, m, t, b, mp = cfg.orb, cfg.camera, cfg.matcher, cfg.tracking, cfg.ba, cfg.mapping
+        self._frontend = jax.jit(make_rgbd_frontend(cfg) if rgbd else make_stereo_frontend(cfg))
+        self._track = jax.jit(
+            partial(
+                slam_track_step,
+                radius=t.motion_search_radius, proj_th=3.0,
+                scale_factor=o.scale_factor, n_levels=o.n_levels,
+                baseline=c.baseline, width=c.width, height=c.height,
+                max_dist=m.min_threshold, ratio_track=m.nn_ratio_track,
+                chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+                depth_threshold=c.baseline * t.th_depth,
+            )
+        )
+        self._insert_kf = jax.jit(
+            partial(
+                insert_keyframe,
+                depth_threshold=c.baseline * t.th_depth,
+                scale_factor=o.scale_factor, n_levels=o.n_levels,
+                min_covis_weight=mp.min_covis_weight,
+            ),
+            donate_argnums=(0,),
+        )
+        self._triangulate = jax.jit(
+            partial(
+                triangulate_new_points,
+                n_neighbors=mp.n_triangulate_kfs, scale_factor=o.scale_factor,
+                n_levels=o.n_levels, baseline=c.baseline,
+                rank_gate=mp.triangulation_rank_gate,
+                chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+            ),
+            donate_argnums=(0,),
+        )
+        self._fuse = jax.jit(
+            partial(
+                fuse_into_keyframe, width=c.width, height=c.height,
+                scale_factor=o.scale_factor, n_levels=o.n_levels,
+            ),
+            donate_argnums=(0,),
+        )
+        self._cull = jax.jit(cull_mappoints, donate_argnums=(0,))
+        self._snapshot = jax.jit(
+            partial(
+                local_map_snapshot, max_kfs=t.max_local_keyframes,
+                max_mps=t.max_local_mappoints,
+            )
+        )
+        self._bump = jax.jit(bump_tracking_counters, donate_argnums=(0,))
+        self._local_ba = None  # attached when solvers.local_ba lands
+
+        self.map = empty_map(cfg)
+        self.state = TrackState.NOT_IMAGE_YET
+        self.last: Optional[SlamFrame] = None
+        self.velocity = jnp.eye(4, dtype=jnp.float32)
+        self.local: Optional[LocalMap] = None
+        self.ref_kf = 0
+        self.frames_since_kf = 0
+        self.frame_id = 0
+        self.ref_kf_tracked = 0
+        self.trajectory: list = []
+
+    # ------------------------------------------------------------------
+    def track(self, img_left, img_right) -> Tuple[Optional[np.ndarray], dict]:
+        """Feed one stereo pair (or RGB + depth map in rgbd mode)."""
+        frame = self._frontend(img_left, img_right, self.cam)
+        fid = self.frame_id
+        self.frame_id += 1
+
+        if self.state in (TrackState.NOT_IMAGE_YET, TrackState.NOT_INITING):
+            return self._initialize(frame, fid)
+
+        new_state, velocity, Tcw, stats, visible, found = self._track(
+            self.cam, frame, self.last, self.velocity, self.local,
+            self.map.mp_pos, self.map.mp_valid,
+        )
+        stats = {k: int(v) for k, v in stats.items()}
+        if stats["n_inliers"] < self.cfg.tracking.min_track_inliers:
+            self.state = TrackState.LOST
+            return None, stats
+
+        self.map = self._bump(self.map, self.local, visible, found)
+        self.last = new_state
+        self.velocity = velocity
+        self.frames_since_kf += 1
+
+        if self._need_keyframe(stats):
+            self._insert_and_map(new_state, fid, stats)
+
+        pose = np.asarray(Tcw)
+        self.trajectory.append((fid, pose))
+        return pose, stats
+
+    # ------------------------------------------------------------------
+    def _initialize(self, frame: StereoFrame, fid: int):
+        n_depth = int(jnp.sum((frame.depth > 0).astype(jnp.int32)))
+        if n_depth < self.cfg.tracking.min_init_depth_kps:
+            self.state = TrackState.NOT_INITING
+            return None, {"init_depth_kps": n_depth}
+        Tcw = jnp.eye(4, dtype=jnp.float32)
+        no_mp = jnp.full((frame.feats.capacity,), -1, jnp.int32)
+        self.map, kf_id = self._insert_kf(self.map, frame, Tcw, no_mp, fid, self.cam)
+        self.ref_kf = int(kf_id)
+        self.local = self._snapshot(self.map, kf_id)
+        mp_ids = self.map.kf_mp_idx[kf_id]
+        self.last = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=mp_ids)
+        self.state = TrackState.OK
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = int(jnp.sum((mp_ids >= 0).astype(jnp.int32)))
+        pose = np.asarray(Tcw)
+        self.trajectory.append((fid, pose))
+        return pose, {"initialized": True, "n_mappoints": int(self.map.next_mp)}
+
+    def _need_keyframe(self, stats: dict) -> bool:
+        """Keyframe decision (reference needNewKeyFrame, Tracking.cc:721-804):
+        c1a cadence, c1c tracking weakness vs reference KF, c2 close-point
+        replenishment."""
+        if self.cfg.tracking.only_tracking:
+            return False
+        if int(self.map.next_kf) >= self.map.kf_capacity - 1:
+            return False
+        need_close = (stats["n_close_tracked"] < 100) and (stats["n_close_untracked"] > 70)
+        c1a = self.frames_since_kf >= self.cfg.tracking.max_frames
+        c1c = stats["n_tracked"] < 0.75 * max(self.ref_kf_tracked, 1)
+        c2 = stats["n_tracked"] > 15 and (c1a or c1c or need_close)
+        return c2
+
+    def _insert_and_map(self, cur: SlamFrame, fid: int, stats: dict):
+        """The reference's LocalMapping::runOnce pipeline for one KF."""
+        self.map, kf_id = self._insert_kf(
+            self.map, cur.frame, cur.Tcw, cur.mp_ids, fid, self.cam
+        )
+        kf_id_i = int(kf_id)
+        self.map = self._cull(self.map, kf_id)
+        self.map = self._triangulate(self.map, kf_id, self.cam)
+        self.map = self._fuse(self.map, kf_id, self.cam)
+        if self._local_ba is not None:
+            self.map = self._local_ba(self.map, kf_id, self.cam)
+        self.ref_kf = kf_id_i
+        self.local = self._snapshot(self.map, kf_id)
+        self.last = cur._replace(mp_ids=self.map.kf_mp_idx[kf_id])
+        self.frames_since_kf = 0
+        self.ref_kf_tracked = int(jnp.sum((self.map.kf_mp_idx[kf_id] >= 0).astype(jnp.int32)))
+
+    # ------------------------------------------------------------------
+    @property
+    def n_keyframes(self) -> int:
+        return int(jnp.sum(self.map.kf_valid.astype(jnp.int32)))
+
+    @property
+    def n_mappoints(self) -> int:
+        return int(jnp.sum(self.map.mp_valid.astype(jnp.int32)))

@@ -113,6 +113,37 @@ def motion_track_step(
     return Tcw_opt, n_matches, n_inliers, m, inlier
 
 
+def make_fused_odometry_step(cfg: SLAMConfig):
+    """One fully device-resident frame step: images in → pose + new state out.
+
+    Fuses the stereo frontend, motion-model matching, pose-only GN and the
+    state update into a single jitted program — the per-frame hot path of
+    SURVEY.md §3.2 as one XLA computation, with zero host round-trips inside
+    the frame loop (critical on a tunnelled TPU where every dispatch pays
+    network latency).
+    """
+    from ..features.extractor import make_stereo_frontend
+
+    o, c, m, t, b = cfg.orb, cfg.camera, cfg.matcher, cfg.tracking, cfg.ba
+    frontend_fn = make_stereo_frontend(cfg)
+
+    def step(cam: CameraParams, img_l, img_r, last: TrackedFrame, velocity):
+        cur = frontend_fn(img_l, img_r, cam)
+        Tcw, n_matches, n_inliers, _, _ = motion_track_step(
+            cam, cur, last, velocity,
+            radius=t.motion_search_radius, scale_factor=o.scale_factor,
+            n_levels=o.n_levels, baseline=c.baseline, max_dist=m.min_threshold,
+            ratio=m.nn_ratio_track, sigma2_base=o.scale_factor * o.scale_factor,
+            chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+        )
+        velocity_new = Tcw @ se3.inverse(last.Tcw)
+        pw, has = unproject_frame(cam, cur, Tcw)
+        new_last = TrackedFrame(frame=cur, Tcw=Tcw, pw=pw, has_pw=has)
+        return new_last, velocity_new, Tcw, n_matches, n_inliers
+
+    return jax.jit(step, donate_argnums=(3,))
+
+
 class OdometryTracker:
     """Stereo visual odometry: the minimum end-to-end slice (SURVEY.md §7.4).
 

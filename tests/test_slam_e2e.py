@@ -1,0 +1,86 @@
+"""End-to-end SLAM (tracking + local mapping, no BA yet) on synthetic data."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam2_ros2_tpu.config import (
+    CameraConfig,
+    MapConfig,
+    ORBConfig,
+    SLAMConfig,
+    TrackingConfig,
+)
+from orb_slam2_ros2_tpu.io.synthetic import SyntheticStereoDataset
+from orb_slam2_ros2_tpu.io.trajectory import ate_rmse
+from orb_slam2_ros2_tpu.pipeline.system import SLAM
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return SLAMConfig(
+        camera=CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=96.0, baseline=0.5,
+                            width=320, height=192),
+        orb=ORBConfig(n_features=600, max_keypoints=768),
+        tracking=TrackingConfig(min_init_depth_kps=150, max_local_mappoints=4096,
+                                max_local_keyframes=16),
+        map=MapConfig(max_keyframes=64, max_mappoints=16384, max_obs_per_mp=16),
+    )
+
+
+def test_slam_tracks_and_maps(cfg):
+    n_frames = 40
+    ds = SyntheticStereoDataset(cfg.camera, n_frames=n_frames, speed=0.35)
+    slam = SLAM(cfg)
+
+    est, gt = [], []
+    for i in range(n_frames):
+        imgL, imgR, Twc_gt = ds.frame(i)
+        Tcw, stats = slam.track(imgL, imgR)
+        assert Tcw is not None, f"lost at frame {i}: {stats}"
+        est.append(np.linalg.inv(Tcw))
+        gt.append(Twc_gt)
+
+    # map actually grew
+    assert slam.n_keyframes >= 3, f"only {slam.n_keyframes} keyframes"
+    assert slam.n_mappoints > 300, f"only {slam.n_mappoints} map points"
+
+    total_dist = n_frames * 0.35
+    ate = ate_rmse(est, gt)
+    assert ate < 0.04 * total_dist, f"ATE {ate:.3f} m over {total_dist:.1f} m"
+    # sanity: moved forward
+    assert np.linalg.norm(est[-1][:3, 3] - est[0][:3, 3]) > 0.5 * total_dist
+
+
+def test_slam_map_consistency(cfg):
+    """Internal invariants of the map after a run: observation lists point
+    back at feature slots that reference the same map point."""
+    ds = SyntheticStereoDataset(cfg.camera, n_frames=15, speed=0.35)
+    slam = SLAM(cfg)
+    for i in range(15):
+        imgL, imgR, _ = ds.frame(i)
+        Tcw, stats = slam.track(imgL, imgR)
+        assert Tcw is not None
+
+    m = slam.map
+    mp_obs_kf = np.asarray(m.mp_obs_kf)
+    mp_obs_feat = np.asarray(m.mp_obs_feat)
+    kf_mp_idx = np.asarray(m.kf_mp_idx)
+    mp_valid = np.asarray(m.mp_valid)
+
+    checked = agree = 0
+    for mp in np.nonzero(mp_valid)[0][:500]:
+        for o in range(mp_obs_kf.shape[1]):
+            kf, ft = mp_obs_kf[mp, o], mp_obs_feat[mp, o]
+            if kf < 0:
+                continue
+            checked += 1
+            if kf_mp_idx[kf, ft] == mp:
+                agree += 1
+    assert checked > 100
+    # fuse/cull may repoint some slots; the vast majority must agree
+    assert agree / checked > 0.8, f"obs backlink agreement {agree}/{checked}"
+
+    # covisibility symmetry
+    covis = np.asarray(m.covis)
+    np.testing.assert_array_equal(covis, covis.T)
