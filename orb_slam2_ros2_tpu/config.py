@@ -155,9 +155,9 @@ class BAConfig:
     pose_rounds: int = 4          # pose-only opt rounds (Optimizer.cc:119)
     pose_iters_per_round: int = 10
     local_ba_iters: int = 10      # 5 + gate + 10 in reference; we run damped GN
-    max_local_ba_kfs: int = 32    # free keyframes in local BA window
-    max_local_ba_fixed: int = 64  # fixed 2nd-ring anchors
-    max_local_ba_edges: int = 32768
+    max_local_ba_kfs: int = 16    # free keyframes in local BA window
+    max_local_ba_fixed: int = 32  # fixed 2nd-ring anchors
+    local_ba_points: int = 8192   # landmark slots in the local BA window
     pcg_iters: int = 40           # CG iterations for the (global) reduced system
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 10.0

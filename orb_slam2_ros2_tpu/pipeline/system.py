@@ -248,7 +248,18 @@ class SLAM:
             )
         )
         self._bump = jax.jit(bump_tracking_counters, donate_argnums=(0,))
-        self._local_ba = None  # attached when solvers.local_ba lands
+        from ..solvers.local_ba import local_ba
+
+        self._local_ba = jax.jit(
+            partial(
+                local_ba,
+                max_free=b.max_local_ba_kfs, max_fixed=b.max_local_ba_fixed,
+                max_points=b.local_ba_points,
+                chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+                lam=b.lm_lambda_init,
+            ),
+            donate_argnums=(0,),
+        )
 
         self.map = empty_map(cfg)
         self.state = TrackState.NOT_IMAGE_YET

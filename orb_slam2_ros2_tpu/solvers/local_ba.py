@@ -1,0 +1,123 @@
+"""Local bundle adjustment window extraction over the device map.
+
+Replaces Optimizer::OptimizeLocalMap (reference src/Optimizer.cc:225-442):
+free vertices = the new KF's 1-ring covisible keyframes, marginalized
+landmarks = their map points, fixed anchors = 2nd-ring keyframes that also
+observe those points (and always keyframe 0, the gauge anchor,
+Optimizer.cc:246-249).  The window is extracted into the dense-grid
+``BAProblem`` layout and solved by the Schur engine (solvers.schur_ba).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import CameraParams
+from ..mapstate.map_state import MapState
+from .schur_ba import BAProblem, solve_ba
+
+
+def extract_window(
+    state: MapState,
+    kf_id,
+    *,
+    max_free: int,
+    max_fixed: int,
+    max_points: int,
+) -> Tuple[BAProblem, jnp.ndarray, jnp.ndarray]:
+    """Build the local BA problem around ``kf_id``.
+
+    Returns (problem, cam_kf_ids [C], pt_mp_ids [P]) for writing results back.
+    """
+    K = state.kf_capacity
+    M = state.mp_capacity
+    N = state.kf_uv.shape[1]
+
+    # --- free cameras: top covisible neighbours + self --------------------
+    w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
+    w = w.at[kf_id].set(jnp.iinfo(jnp.int32).max)  # self always first
+    wv, free_ids = jax.lax.top_k(w, max_free)
+    free_ok = wv > 0
+    free_ids = jnp.where(free_ok, free_ids, -1)
+    free_mask_k = jnp.zeros((K,), bool).at[jnp.where(free_ok, free_ids, K)].set(True, mode="drop")
+
+    # --- landmark set: points observed by free cameras --------------------
+    rows = state.kf_mp_idx[jnp.clip(free_ids, 0, K - 1)]
+    rows = jnp.where(free_ok[:, None], rows, -1)
+    mp_mask = jnp.zeros((M,), bool).at[jnp.where(rows >= 0, rows, M).reshape(-1)].set(True, mode="drop")
+    mp_mask = mp_mask & state.mp_valid
+    score = jnp.where(mp_mask, 1 + jnp.arange(M, dtype=jnp.int32), 0)
+    top, pt_ids = jax.lax.top_k(score, max_points)
+    pt_ok = top > 0
+    pt_ids = jnp.where(pt_ok, pt_ids, -1)
+    inv = jnp.full((M + 1,), -1, jnp.int32).at[jnp.where(pt_ok, pt_ids, M)].set(
+        jnp.arange(max_points, dtype=jnp.int32), mode="drop"
+    )[:M]
+
+    # --- fixed cameras: observers of the landmarks outside the free set ---
+    obs_kf = state.mp_obs_kf[jnp.clip(pt_ids, 0, M - 1)]
+    obs_kf = jnp.where(pt_ok[:, None], obs_kf, -1)
+    fixed_mask = jnp.zeros((K,), bool).at[jnp.where(obs_kf >= 0, obs_kf, K).reshape(-1)].set(True, mode="drop")
+    fixed_mask = fixed_mask & state.kf_valid & ~free_mask_k
+    fscore = jnp.where(fixed_mask, 1 + jnp.arange(K, dtype=jnp.int32), 0)
+    ftop, fixed_ids = jax.lax.top_k(fscore, max_fixed)
+    fixed_ok = ftop > 0
+    fixed_ids = jnp.where(fixed_ok, fixed_ids, -1)
+
+    cam_ids = jnp.concatenate([free_ids, fixed_ids])
+    cam_ok = jnp.concatenate([free_ok, fixed_ok])
+    # gauge: keyframe 0 is never free (Optimizer.cc:246-249)
+    cam_free = jnp.concatenate([free_ok & (free_ids != 0), jnp.zeros_like(fixed_ok)])
+
+    cidc = jnp.clip(cam_ids, 0, K - 1)
+    pt_slot = inv[jnp.clip(state.kf_mp_idx[cidc], 0, M - 1)]
+    has_edge = (state.kf_mp_idx[cidc] >= 0) & (pt_slot >= 0) & cam_ok[:, None]
+
+    inv_sigma2 = jnp.power(
+        jnp.float32(1.0 / 1.44), state.kf_octave[cidc].astype(jnp.float32)
+    )
+    prob = BAProblem(
+        cam_Tcw=state.kf_Tcw[cidc],
+        cam_free=cam_free,
+        pt_pos=state.mp_pos[jnp.clip(pt_ids, 0, M - 1)],
+        pt_valid=pt_ok,
+        pt_slot=jnp.where(has_edge, pt_slot, -1),
+        uv=state.kf_uv[cidc],
+        right_u=jnp.where(has_edge, state.kf_right_u[cidc], -1.0),
+        inv_sigma2=inv_sigma2,
+        edge_valid=has_edge,
+    )
+    return prob, cam_ids, pt_ids
+
+
+def local_ba(
+    state: MapState,
+    kf_id,
+    cam: CameraParams,
+    *,
+    max_free: int = 16,
+    max_fixed: int = 32,
+    max_points: int = 8192,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+    phase_iters: Tuple[int, int] = (5, 10),
+    lam: float = 1e-3,
+) -> MapState:
+    """Run local BA and write optimized poses/points back into the map."""
+    prob, cam_ids, pt_ids = extract_window(
+        state, kf_id, max_free=max_free, max_fixed=max_fixed, max_points=max_points
+    )
+    Tcw_opt, pts_opt, _ = solve_ba(
+        cam, prob, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+        phase_iters=phase_iters, lam=lam,
+    )
+    K = state.kf_capacity
+    M = state.mp_capacity
+    write_cam = prob.cam_free & (cam_ids >= 0)
+    kf_Tcw = state.kf_Tcw.at[jnp.where(write_cam, cam_ids, K)].set(Tcw_opt, mode="drop")
+    write_pt = prob.pt_valid & (pt_ids >= 0)
+    mp_pos = state.mp_pos.at[jnp.where(write_pt, pt_ids, M)].set(pts_opt, mode="drop")
+    return state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos)

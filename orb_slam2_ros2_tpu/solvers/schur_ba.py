@@ -1,0 +1,190 @@
+"""Bundle adjustment with Schur-complement reduction — the g2o replacement.
+
+The reference's local/global BA builds g2o graphs: SE3 vertices, marginalized
+landmark vertices, Huber-robust mono/stereo reprojection edges, LM iterations
+with χ² gating (reference: src/Optimizer.cc:225-442 OptimizeLocalMap,
+:934-1043 globalOptimization).  This module is the TPU-native equivalent:
+
+**Data layout** — no sparse graph structure at all.  The edge set is the
+dense grid ``[C cameras × N feature slots]`` with a validity mask: camera c's
+feature slot n observes point-slot ``pt_slot[c, n]``.  Residuals, Jacobians
+and weights are plain ``[C, N, ...]`` arrays.
+
+**Reduced camera system on the MXU** — per-edge camera-point coupling blocks
+``G = Jcᵀ W Jp [C, N, 6, 3]`` are segment-summed into the block matrix
+``B [F·6, P·3]``; the Schur complement is two batched matmuls:
+
+    S = Hcc − (B · blockdiag(Hpp+λ)⁻¹) · Bᵀ        (MXU, dense [F·6, F·6])
+    b̃ = b_c − (B · blockdiag(Hpp+λ)⁻¹) · b_p
+
+followed by one dense Cholesky solve and a matmul back-substitution for the
+landmarks.  At F ≤ 32 free cameras (local BA) S is 192×192; the same engine
+runs whole-map global BA (F = K) because S stays dense-Cholesky-friendly on
+TPU up to thousands of cameras.
+
+**Robustness** — Huber IRLS weights + χ² re-gating between iteration phases,
+matching the reference's 5-iters → gate → 10-iters structure
+(Optimizer.cc:321-349).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import CameraParams
+from ..geometry.robust import huber_weight
+
+
+class BAProblem(NamedTuple):
+    """Grid-layout BA problem.  C = #camera slots, N = features/cam, P = point slots."""
+
+    cam_Tcw: jnp.ndarray     # f32[C, 4, 4]
+    cam_free: jnp.ndarray    # bool[C] — optimized (False = fixed anchor)
+    pt_pos: jnp.ndarray      # f32[P, 3]
+    pt_valid: jnp.ndarray    # bool[P]
+    # per-edge (camera-feature) observations
+    pt_slot: jnp.ndarray     # i32[C, N] point slot (−1 = no edge)
+    uv: jnp.ndarray          # f32[C, N, 2]
+    right_u: jnp.ndarray     # f32[C, N] (−1 = mono)
+    inv_sigma2: jnp.ndarray  # f32[C, N]
+    edge_valid: jnp.ndarray  # bool[C, N]
+
+
+def _edge_terms(cam: CameraParams, prob: BAProblem, Tcw: jnp.ndarray, pts: jnp.ndarray):
+    """Residuals r [C,N,3], Jacobians Jc [C,N,3,6], Jp [C,N,3,3], dim mask."""
+    P = pts.shape[0]
+    slot = jnp.clip(prob.pt_slot, 0, P - 1)
+    pw = pts[slot]                                       # [C, N, 3]
+    pc = jnp.einsum("cij,cnj->cni", se3.R_of(Tcw), pw) + se3.t_of(Tcw)[:, None, :]
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    z = jnp.where(z > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z
+    inv_z2 = inv_z * inv_z
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    is_stereo = prob.right_u > 0
+    r = jnp.stack(
+        [u - prob.uv[..., 0], v - prob.uv[..., 1], jnp.where(is_stereo, ur - prob.right_u, 0.0)],
+        axis=-1,
+    )
+    zero = jnp.zeros_like(z)
+    du = jnp.stack([cam.fx * inv_z, zero, -cam.fx * x * inv_z2], axis=-1)
+    dv = jnp.stack([zero, cam.fy * inv_z, -cam.fy * y * inv_z2], axis=-1)
+    dur = du + jnp.stack([zero, zero, cam.bf * inv_z2], axis=-1)
+    dpix = jnp.stack([du, dv, dur], axis=-2)             # [C, N, 3, 3] ∂pix/∂pc
+    I = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))
+    dpc_dxi = jnp.concatenate([I, -se3.hat(pc)], axis=-1)  # [C, N, 3, 6]
+    Jc = dpix @ dpc_dxi
+    Jp = jnp.einsum("cnab,cbj->cnaj", dpix, se3.R_of(Tcw))  # ∂pc/∂pw = R
+    dim = jnp.stack(
+        [jnp.ones_like(is_stereo), jnp.ones_like(is_stereo), is_stereo], axis=-1
+    ).astype(jnp.float32)
+    return r, Jc, Jp, dim
+
+
+def _solve_iteration(cam, prob, Tcw, pts, weights, lam):
+    """One damped-GN Schur step.  weights [C, N] combines validity, Huber and
+    information.  Returns (Tcw_new, pts_new)."""
+    C, N = prob.pt_slot.shape
+    P = pts.shape[0]
+    F6 = C * 6
+
+    r, Jc, Jp, dim = _edge_terms(cam, prob, Tcw, pts)
+    wm = weights[..., None] * dim                        # [C, N, 3]
+
+    # zero camera Jacobians of fixed cameras (their pose stays anchored)
+    Jc = jnp.where(prob.cam_free[:, None, None, None], Jc, 0.0)
+
+    # per-camera blocks
+    Hcc = jnp.einsum("cnki,cnk,cnkj->cij", Jc, wm, Jc)   # [C, 6, 6]
+    b_c = jnp.einsum("cnki,cnk,cnk->ci", Jc, wm, r)      # [C, 6]
+
+    # per-point blocks (segment-sum over all cameras' slots)
+    slot = jnp.where(prob.edge_valid, prob.pt_slot, P)
+    flat_slot = slot.reshape(-1)
+    Hpp_e = jnp.einsum("cnki,cnk,cnkj->cnij", Jp, wm, Jp).reshape(-1, 3, 3)
+    b_p_e = jnp.einsum("cnki,cnk,cnk->cni", Jp, wm, r).reshape(-1, 3)
+    Hpp = jnp.zeros((P + 1, 3, 3)).at[flat_slot].add(Hpp_e)[:P]
+    b_p = jnp.zeros((P + 1, 3)).at[flat_slot].add(b_p_e)[:P]
+
+    # camera-point coupling → B [C, P, 6, 3] assembled per camera row
+    G = jnp.einsum("cnki,cnk,cnkj->cnij", Jc, wm, Jp)    # [C, N, 6, 3]
+
+    def per_cam_B(g_c, slot_c):
+        return jnp.zeros((P + 1, 6, 3)).at[slot_c].add(g_c)[:P]
+
+    B = jax.vmap(per_cam_B)(G, slot)                     # [C, P, 6, 3]
+
+    # landmark marginalization
+    lamI3 = lam * jnp.eye(3)
+    Wp = jnp.linalg.inv(Hpp + lamI3[None] + 1e-9 * jnp.eye(3)[None])  # [P, 3, 3]
+    Wp = jnp.where(prob.pt_valid[:, None, None], Wp, 0.0)
+
+    BW = jnp.einsum("cpij,pjk->cpik", B, Wp)             # [C, P, 6, 3]
+    # S[c1, c2] = Hcc δ − Σ_p BW[c1, p] @ B[c2, p]^T  → via MXU matmul
+    BWf = jnp.transpose(BW, (0, 2, 1, 3)).reshape(C * 6, P * 3)
+    Bf = jnp.transpose(B, (0, 2, 1, 3)).reshape(C * 6, P * 3)
+    S = -BWf @ Bf.T                                      # [C6, C6]
+    # add block-diagonal Hcc (+ LM damping + fixed-cam identity anchors)
+    Hcc_d = Hcc + lam * jnp.eye(6)[None]
+    anchor = jnp.where(prob.cam_free, 0.0, 1.0)[:, None, None] * jnp.eye(6)[None]
+    idx = jnp.arange(C)
+    S = S.reshape(C, 6, C, 6).at[idx, :, idx, :].add(Hcc_d + anchor).reshape(F6, F6)
+
+    b_schur = b_c.reshape(-1) - (BWf @ b_p.reshape(-1))
+
+    # dense solve (S is SPD by construction + damping)
+    L, low = jax.scipy.linalg.cho_factor(S + 1e-8 * jnp.eye(F6))
+    dx_c = -jax.scipy.linalg.cho_solve((L, low), b_schur)
+    ok = jnp.all(jnp.isfinite(dx_c))
+    dx_c = jnp.where(ok, dx_c, 0.0).reshape(C, 6)
+    dx_c = jnp.where(prob.cam_free[:, None], dx_c, 0.0)
+
+    # landmark back-substitution: dx_p = -Wp (b_p + Σ_c G^T dx_c)
+    Gt_dx = jnp.einsum("cpij,ci->pj", B, dx_c.reshape(C, 6))
+    dx_p = -jnp.einsum("pij,pj->pi", Wp, b_p + Gt_dx)
+    dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
+    dx_p = jnp.where(prob.pt_valid[:, None], dx_p, 0.0)
+
+    Tcw_new = se3.normalize(se3.exp(dx_c) @ Tcw)
+    pts_new = pts + dx_p
+    return Tcw_new, pts_new
+
+
+def _chi2(cam, prob, Tcw, pts):
+    r, _, _, dim = _edge_terms(cam, prob, Tcw, pts)
+    return jnp.sum(r * r * dim, axis=-1) * prob.inv_sigma2
+
+
+def solve_ba(
+    cam: CameraParams,
+    prob: BAProblem,
+    *,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+    phase_iters: Tuple[int, int] = (5, 10),
+    lam: float = 1e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the two-phase robust BA (5 iters → χ² gate → 10 iters, mirroring
+    Optimizer.cc:321-349).  Returns (cam_Tcw, pt_pos, edge_inlier)."""
+    chi2_th = jnp.where(prob.right_u > 0, chi2_stereo, chi2_mono)
+    Tcw, pts = prob.cam_Tcw, prob.pt_pos
+    gate = prob.edge_valid
+
+    for n_iters in phase_iters:
+        def body(_, carry):
+            Tcw, pts = carry
+            chi2 = _chi2(cam, prob, Tcw, pts)
+            w = gate.astype(jnp.float32) * prob.inv_sigma2 * huber_weight(chi2, chi2_th)
+            return _solve_iteration(cam, prob, Tcw, pts, w, lam)
+
+        Tcw, pts = jax.lax.fori_loop(0, n_iters, body, (Tcw, pts))
+        chi2 = _chi2(cam, prob, Tcw, pts)
+        gate = prob.edge_valid & (chi2 < chi2_th)
+
+    return Tcw, pts, gate
