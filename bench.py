@@ -38,7 +38,15 @@ N_WARMUP = 3
 N_FRAMES = 40
 
 
+T0 = time.time()
+
+
 def main():
+    import time as _t
+
+    def log(msg):
+        print(f"[bench {_t.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
     cfg = SLAMConfig()
     cam = CameraParams.from_config(cfg.camera)
     ds = SyntheticStereoDataset(cfg.camera, n_frames=N_FRAMES + N_WARMUP + 1, speed=0.8)
@@ -49,7 +57,11 @@ def main():
     for i in range(N_WARMUP + N_FRAMES + 1):
         imgL, imgR, _ = ds.frame(i)
         frames.append((imgL, imgR))
+        if i % 10 == 0:
+            jax.block_until_ready(imgL)
+            log(f"rendered {i}")
     jax.block_until_ready(frames[-1])
+    log("render done")
 
     # Bootstrap state from frame 0.
     from orb_slam2_ros2_tpu.features.extractor import make_stereo_frontend
@@ -61,10 +73,12 @@ def main():
     state = TrackedFrame(frame=sf0, Tcw=Tcw0, pw=pw, has_pw=has)
     velocity = jnp.eye(4, dtype=jnp.float32)
 
+    log("frontend/bootstrap done")
     # Warmup (compile) then timed loop.
     for i in range(1, N_WARMUP + 1):
         state, velocity, Tcw, n_m, n_in = step(cam, frames[i][0], frames[i][1], state, velocity)
-    jax.block_until_ready(Tcw)
+        jax.block_until_ready(Tcw)
+        log(f"warmup {i} done")
 
     t0 = time.perf_counter()
     for i in range(N_WARMUP + 1, N_WARMUP + 1 + N_FRAMES):

@@ -102,12 +102,15 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    w_norm = jnp.linalg.norm(w, axis=-1)  # = 2 sin θ
+    # smooth norm: ‖w‖ has a NaN gradient at w = 0 (identity rotation), which
+    # poisons jax.jacfwd through any residual that passes through log∘exp —
+    # the epsilon keeps value AND derivative finite (d√(x+ε)·dx/dw → 0 at 0).
+    w_norm = jnp.sqrt(jnp.sum(w * w, axis=-1) + 1e-24)  # = 2 sin θ
     theta = jnp.arctan2(w_norm, trace - 1.0)
     small = w_norm < 1e-6
     # θ/(2 sin θ) with series fallback 1/2 + θ²/12 near zero
     scale = jnp.where(
-        small, 0.5 + theta * theta / 12.0, theta / jnp.where(small, 1.0, w_norm)
+        small, 0.5 + theta * theta / 12.0, theta / jnp.maximum(w_norm, 1e-12)
     )
     return w * scale[..., None]
 

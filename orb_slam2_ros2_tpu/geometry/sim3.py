@@ -86,24 +86,29 @@ def _calc_W(phi: jnp.ndarray, sigma: jnp.ndarray, scale: jnp.ndarray) -> jnp.nda
     small_th = theta_sq < _EPS_SQ * 10
 
     one = jnp.ones_like(sigma)
-    safe = lambda x: jnp.where(jnp.abs(x) < 1e-20, 1.0, x)
+    # Clamp-based guards (NOT where-guards): gradients flow through every
+    # branch of a jnp.where, so an unselected 0/0 branch still yields NaN
+    # Jacobians.  Clamping denominators keeps both value and derivative
+    # finite everywhere; the select then picks the accurate branch.
+    th_sq_c = jnp.maximum(theta_sq, 1e-10)
+    sig_c = jnp.where(sigma >= 0, jnp.maximum(sigma, _EPS), jnp.minimum(sigma, -_EPS))
 
     # σ small:
     C_s = one
     A_ss = 0.5 * one                      # θ small too
     B_ss = one / 6.0
-    A_sl = (1.0 - cos_t) / safe(theta_sq)  # θ large
-    B_sl = (theta - sin_t) / safe(theta_sq * theta)
+    A_sl = (1.0 - cos_t) / th_sq_c        # θ large
+    B_sl = (theta - sin_t) / (th_sq_c * theta)
 
     # σ large:
-    C_l = (scale - 1.0) / safe(sigma)
-    A_ls = ((sigma - 1.0) * scale + 1.0) / safe(sigma_sq)                 # θ small
-    B_ls = (scale * (0.5 * sigma_sq - sigma + 1.0) - 1.0) / safe(sigma_sq * sigma)
+    C_l = (scale - 1.0) / sig_c
+    A_ls = ((sigma - 1.0) * scale + 1.0) / (sig_c * sig_c)                # θ small
+    B_ls = (scale * (0.5 * sigma_sq - sigma + 1.0) - 1.0) / (sig_c * sig_c * sig_c)
     a = scale * sin_t
     b = scale * cos_t
-    c = theta_sq + sigma_sq
-    A_ll = (a * sigma + (1.0 - b) * theta) / safe(theta * c)              # θ large
-    B_ll = (C_l - ((b - 1.0) * sigma + a * theta) / safe(c)) / safe(theta_sq)
+    c = jnp.maximum(theta_sq + sigma_sq, 1e-12)
+    A_ll = (a * sigma + (1.0 - b) * theta) / (theta * c)                  # θ large
+    B_ll = (C_l - ((b - 1.0) * sigma + a * theta) / c) / th_sq_c
 
     A = jnp.where(small_sig, jnp.where(small_th, A_ss, A_sl), jnp.where(small_th, A_ls, A_ll))
     B = jnp.where(small_sig, jnp.where(small_th, B_ss, B_sl), jnp.where(small_th, B_ls, B_ll))

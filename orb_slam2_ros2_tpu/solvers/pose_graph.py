@@ -1,0 +1,123 @@
+"""Sim(3) pose-graph optimization (essential graph).
+
+Replaces Optimizer::optimizeEssentialGraph (reference src/Optimizer.cc:
+746-920): vertices = Sim3 poses of all keyframes (the loop keyframe fixed),
+edges = new loop connections (covis ≥ 100), spanning tree, loop edges and
+strong covisibility edges, each with the relative-Sim3 measurement taken
+from the poses at correction time; 20 GN iterations; afterwards map points
+are corrected via S_wc_new ∘ S_cw_old.
+
+TPU design: edges live in padded arrays; residual e = log_sim3(S_meas ∘ S_j ∘
+S_i⁻¹) with exact Jacobians from ``jax.jacfwd`` batched over all edges; the
+normal system H (7K × 7K dense) is assembled by scatter-adding 7×7 blocks
+and solved with one dense Cholesky — at K ≤ 1024 keyframes this is a ≤
+7168-dim SPD solve, comfortably on-chip (cheaper than sparse bookkeeping).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import sim3
+
+
+class PoseGraphProblem(NamedTuple):
+    S_cw: sim3.Sim3         # [K] current keyframe Sim3 poses (world→cam)
+    kf_valid: jnp.ndarray   # bool[K]
+    kf_fixed: jnp.ndarray   # bool[K] (loop KF / gauge anchors)
+    edge_i: jnp.ndarray     # i32[E]
+    edge_j: jnp.ndarray     # i32[E]
+    edge_Sji: sim3.Sim3     # [E] measured relative pose S_j←i = S_j ∘ S_i⁻¹
+    edge_valid: jnp.ndarray  # bool[E]
+    edge_weight: jnp.ndarray  # f32[E]
+
+
+def make_relative_measurements(S_cw: sim3.Sim3, edge_i, edge_j) -> sim3.Sim3:
+    """S_ji = S_j ∘ S_i⁻¹ from current poses (how the reference seeds
+    non-loop edges, Optimizer.cc:800-870)."""
+    Si = jax.tree.map(lambda a: a[edge_i], S_cw)
+    Sj = jax.tree.map(lambda a: a[edge_j], S_cw)
+    return sim3.compose(Sj, sim3.inverse(Si))
+
+
+def _edge_residual(xi_i, xi_j, Si, Sj, Sji_meas):
+    """e = log(S_meas⁻¹ ∘ (exp(ξj) Sj) ∘ (exp(ξi) Si)⁻¹) ∈ ℝ⁷."""
+    Si_new = sim3.compose(sim3.exp(xi_i), Si)
+    Sj_new = sim3.compose(sim3.exp(xi_j), Sj)
+    E = sim3.compose(sim3.inverse(Sji_meas), sim3.compose(Sj_new, sim3.inverse(Si_new)))
+    return sim3.log(E)
+
+
+def optimize_pose_graph(
+    prob: PoseGraphProblem,
+    *,
+    iters: int = 20,
+    damping: float = 1e-6,
+) -> sim3.Sim3:
+    """Batched GN over the whole graph; returns optimized S_cw."""
+    K = prob.kf_valid.shape[0]
+    E = prob.edge_i.shape[0]
+    D = 7 * K
+
+    zero7 = jnp.zeros(7)
+
+    def gn_step(_, S_flat):
+        S = S_flat
+        Si = jax.tree.map(lambda a: a[prob.edge_i], S)
+        Sj = jax.tree.map(lambda a: a[prob.edge_j], S)
+
+        res_fn = lambda xi_i, xi_j, si_R, si_t, si_s, sj_R, sj_t, sj_s, m_R, m_t, m_s: _edge_residual(
+            xi_i, xi_j,
+            sim3.Sim3(si_R, si_t, si_s), sim3.Sim3(sj_R, sj_t, sj_s),
+            sim3.Sim3(m_R, m_t, m_s),
+        )
+        batched = jax.vmap(res_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+        r = batched(zero7, zero7, Si.R, Si.t, Si.s, Sj.R, Sj.t, Sj.s,
+                    prob.edge_Sji.R, prob.edge_Sji.t, prob.edge_Sji.s)   # [E, 7]
+        Ji = jax.vmap(jax.jacfwd(res_fn, argnums=0), in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+            zero7, zero7, Si.R, Si.t, Si.s, Sj.R, Sj.t, Sj.s,
+            prob.edge_Sji.R, prob.edge_Sji.t, prob.edge_Sji.s)           # [E, 7, 7]
+        Jj = jax.vmap(jax.jacfwd(res_fn, argnums=1), in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+            zero7, zero7, Si.R, Si.t, Si.s, Sj.R, Sj.t, Sj.s,
+            prob.edge_Sji.R, prob.edge_Sji.t, prob.edge_Sji.s)
+
+        w = prob.edge_valid.astype(jnp.float32) * prob.edge_weight
+        free_i = ~prob.kf_fixed[prob.edge_i]
+        free_j = ~prob.kf_fixed[prob.edge_j]
+        Ji = jnp.where((free_i & prob.edge_valid)[:, None, None], Ji, 0.0)
+        Jj = jnp.where((free_j & prob.edge_valid)[:, None, None], Jj, 0.0)
+
+        # assemble dense H [K, 7, K, 7] and b [K, 7] by block scatter-add
+        Hii = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
+        Hjj = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
+        Hij = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
+        b_i = jnp.einsum("eki,e,ek->ei", Ji, w, r)
+        b_j = jnp.einsum("eki,e,ek->ei", Jj, w, r)
+
+        ei = jnp.where(prob.edge_valid, prob.edge_i, K)
+        ej = jnp.where(prob.edge_valid, prob.edge_j, K)
+        H = jnp.zeros((K + 1, 7, K + 1, 7))
+        H = H.at[ei, :, ei, :].add(Hii, mode="drop")
+        H = H.at[ej, :, ej, :].add(Hjj, mode="drop")
+        H = H.at[ei, :, ej, :].add(Hij, mode="drop")
+        H = H.at[ej, :, ei, :].add(jnp.swapaxes(Hij, -1, -2), mode="drop")
+        b = jnp.zeros((K + 1, 7)).at[ei].add(b_i, mode="drop").at[ej].add(b_j, mode="drop")
+
+        H = H[:K, :, :K, :].reshape(D, D)
+        b = b[:K].reshape(D)
+
+        # anchor fixed/invalid vertices
+        anchor = (prob.kf_fixed | ~prob.kf_valid).astype(jnp.float32)
+        diag_anchor = jnp.repeat(anchor, 7)
+        H = H + jnp.diag(diag_anchor * 1e6 + damping)
+
+        L, low = jax.scipy.linalg.cho_factor(H + 1e-8 * jnp.eye(D))
+        dx = -jax.scipy.linalg.cho_solve((L, low), b)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(K, 7)
+        dx = jnp.where((prob.kf_fixed | ~prob.kf_valid)[:, None], 0.0, dx)
+        return sim3.compose(sim3.exp(dx), S)
+
+    return jax.lax.fori_loop(0, iters, gn_step, prob.S_cw)
