@@ -87,6 +87,24 @@ def render(K_inv: jnp.ndarray, Twc: jnp.ndarray, h: int, w: int) -> Tuple[jnp.nd
     return img, depth
 
 
+def circle_trajectory(n_frames: int, radius: float = 4.0, z_center: float = 15.0) -> np.ndarray:
+    """Closed circular trajectory (camera yaws along the tangent): the last
+    poses revisit the first — exercises loop closure."""
+    poses = []
+    for i in range(n_frames):
+        a = 2.0 * np.pi * i / (n_frames - 4)  # slight overshoot → revisit
+        c, s = np.cos(a), np.sin(a)
+        centre = np.array([radius * s, 0.0, z_center - radius * c], np.float32)
+        yaw = a
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        R = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = centre
+        poses.append(T)
+    return np.stack(poses)
+
+
 def trajectory(n_frames: int, speed: float = 0.8, yaw_rate: float = 0.002) -> np.ndarray:
     """Ground-truth Twc poses [n, 4, 4]: forward motion with gentle yaw."""
     poses = []
@@ -110,9 +128,9 @@ class SyntheticStereoDataset:
     (example/Stereo/KittiStereo.cc) for environments without data.
     """
 
-    def __init__(self, cam_cfg, n_frames: int = 100, speed: float = 0.8):
+    def __init__(self, cam_cfg, n_frames: int = 100, speed: float = 0.8, circle: bool = False):
         self.cfg = cam_cfg
-        self.poses_wc = trajectory(n_frames, speed)
+        self.poses_wc = circle_trajectory(n_frames) if circle else trajectory(n_frames, speed)
         K = np.array(
             [[cam_cfg.fx, 0, cam_cfg.cx], [0, cam_cfg.fy, cam_cfg.cy], [0, 0, 1]],
             np.float32,

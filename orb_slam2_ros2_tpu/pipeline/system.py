@@ -197,10 +197,12 @@ class SLAM:
     ``System`` API: construct, call ``track(left, right)`` per frame
     (reference System::EstimatePose, System.h:55-61)."""
 
-    def __init__(self, cfg: SLAMConfig, rgbd: bool = False):
+    def __init__(self, cfg: SLAMConfig, rgbd: bool = False, enable_loop_closing: bool = True):
         self.cfg = cfg
         self.cam = CameraParams.from_config(cfg.camera)
         self.rgbd = rgbd
+        self.enable_loop_closing = enable_loop_closing and not cfg.tracking.only_tracking
+        self.loop_closer = None  # built lazily (vocabulary trains on first KF)
         o, c, m, t, b, mp = cfg.orb, cfg.camera, cfg.matcher, cfg.tracking, cfg.ba, cfg.mapping
         self._frontend = jax.jit(make_rgbd_frontend(cfg) if rgbd else make_stereo_frontend(cfg))
         self._track = jax.jit(
@@ -348,11 +350,64 @@ class SLAM:
         self.map = self._fuse(self.map, kf_id, self.cam)
         if self._local_ba is not None:
             self.map = self._local_ba(self.map, kf_id, self.cam)
+        closed = False
+        if self.enable_loop_closing:
+            closed = self._loop_close(kf_id_i)
         self.ref_kf = kf_id_i
         self.local = self._snapshot(self.map, kf_id)
-        self.last = cur._replace(mp_ids=self.map.kf_mp_idx[kf_id])
+        # the inserted KF *is* the current frame: adopt its (possibly BA- or
+        # loop-corrected) pose as the tracker's reference, else the next
+        # motion-model step predicts from a stale pre-correction pose
+        self.last = cur._replace(
+            mp_ids=self.map.kf_mp_idx[kf_id], Tcw=self.map.kf_Tcw[kf_id]
+        )
+        if closed:
+            self.velocity = jnp.eye(4, dtype=jnp.float32)
         self.frames_since_kf = 0
         self.ref_kf_tracked = int(jnp.sum((self.map.kf_mp_idx[kf_id] >= 0).astype(jnp.int32)))
+
+    # ------------------------------------------------------------------
+    def _loop_close(self, kf_id: int):
+        """Loop-closing stage run synchronously per keyframe (the reference's
+        LoopClosing thread, src/LoopClosing.cc:53-90)."""
+        from .loop_closing import LoopCloser
+
+        if self.loop_closer is None:
+            # train the vocabulary on the first keyframe's descriptors —
+            # self-consistent replacement for shipping ORBvoc (SURVEY.md §2 #11)
+            from ..bow.vocabulary import train_vocabulary
+
+            desc = np.asarray(self.map.kf_desc[kf_id])
+            valid = np.asarray(self.map.kf_feat_valid[kf_id])
+            vocab = train_vocabulary(
+                desc[valid], branching=self.cfg.bow.branching,
+                depth=self.cfg.bow.depth,
+            )
+            self.loop_closer = LoopCloser(self.cfg, vocab)
+
+        self.loop_closer.add_keyframe_to_db(self.map, kf_id)
+        cand = self.loop_closer.detect(self.map, kf_id)
+        if cand is None:
+            return False
+        key = jax.random.PRNGKey(kf_id)
+        S12 = self.loop_closer.compute_sim3(self.map, self.cam, kf_id, cand, key)
+        if S12 is None:
+            return False
+        self.map = self.loop_closer.correct(self.map, self.cam, kf_id, cand, S12)
+        self.loops_closed = getattr(self, "loops_closed", 0) + 1
+        return True
+
+    # ------------------------------------------------------------------
+    def run_global_ba(self, mesh=None):
+        """Full-map bundle adjustment (reference globalOptimization)."""
+        from ..solvers.global_ba import global_ba
+
+        self.map = global_ba(
+            self.map, self.cam, scale_factor=self.cfg.orb.scale_factor,
+            pcg_iters=self.cfg.ba.pcg_iters, mesh=mesh,
+        )
+        if self.local is not None:
+            self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
 
     # ------------------------------------------------------------------
     @property

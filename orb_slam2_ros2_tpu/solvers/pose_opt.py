@@ -92,7 +92,7 @@ def optimize_pose(
     chi2_stereo: float = 7.815,
     rounds: int = 4,
     iters_per_round: int = 10,
-    damping: float = 1e-5,
+    damping: float = 1e-4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (Tcw_opt, inlier_mask [M], n_inliers).
 
@@ -104,11 +104,28 @@ def optimize_pose(
     chi2_th = jnp.where(obs.is_stereo, chi2_stereo, chi2_mono)
     inlier = obs.valid
 
+    def robust_cost(T, use_huber):
+        """Huber-robustified total cost (the quantity LM must decrease)."""
+        chi2 = chi2_per_obs(cam, T, obs)
+        if use_huber:
+            # Huber ρ(χ²): quadratic inside δ, linear outside
+            c = jnp.where(
+                chi2 <= chi2_th, chi2, 2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 1e-12)) - chi2_th
+            )
+        else:
+            c = chi2
+        return jnp.sum(jnp.where(inlier, c, 0.0))
+
     Tcw = Tcw0
     for rnd in range(rounds):
         use_huber = rnd < rounds - 2
 
-        def gn_step(_, T):
+        def lm_step(_, carry):
+            """Levenberg-Marquardt with step acceptance: a GN step that fails
+            to reduce the robust cost is rejected and the damping raised —
+            pure GN diverges on ill-conditioned (rotation-dominant) geometry
+            even from centimetre-level initialization."""
+            T, lam, cost = carry
             r, J = residuals_and_jac(cam, T, obs)
             dm = _residual_dim_mask(obs)
             chi2 = jnp.sum(r * r * dm, axis=-1) * obs.inv_sigma2
@@ -118,14 +135,20 @@ def optimize_pose(
             wm = w[:, None] * dm  # [M, 3]
             H = jnp.einsum("mki,mk,mkj->ij", J, wm, J)
             b = jnp.einsum("mki,mk,mk->i", J, wm, r)
-            H = H + damping * jnp.eye(6, dtype=H.dtype)
+            H = H + lam * (jnp.eye(6, dtype=H.dtype) + jnp.diag(jnp.diag(H)))
             dx = -jnp.linalg.solve(H, b)
-            # guard: only apply finite updates (degenerate H on empty obs)
-            ok = jnp.all(jnp.isfinite(dx))
-            dx = jnp.where(ok, dx, 0.0)
-            return se3.exp(dx) @ T
+            dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
+            T_new = se3.exp(dx) @ T
+            cost_new = robust_cost(T_new, use_huber)
+            accept = cost_new < cost
+            T = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), T_new, T)
+            cost = jnp.where(accept, cost_new, cost)
+            lam = jnp.where(accept, lam * 0.5, lam * 8.0)
+            lam = jnp.clip(lam, 1e-7, 1e4)
+            return T, lam, cost
 
-        Tcw = jax.lax.fori_loop(0, iters_per_round, gn_step, Tcw)
+        carry = (Tcw, jnp.asarray(damping, jnp.float32), robust_cost(Tcw, use_huber))
+        Tcw, _, _ = jax.lax.fori_loop(0, iters_per_round, lm_step, carry)
         chi2 = chi2_per_obs(cam, Tcw, obs)
         inlier = obs.valid & (chi2 < chi2_th)
 

@@ -1,0 +1,60 @@
+"""Loop-closing integration test on a closed circular trajectory."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orb_slam2_ros2_tpu.config import (
+    BAConfig,
+    BoWConfig,
+    CameraConfig,
+    MapConfig,
+    ORBConfig,
+    SLAMConfig,
+    TrackingConfig,
+)
+from orb_slam2_ros2_tpu.io.synthetic import SyntheticStereoDataset
+from orb_slam2_ros2_tpu.io.trajectory import ate_rmse
+from orb_slam2_ros2_tpu.pipeline.system import SLAM
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return SLAMConfig(
+        camera=CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=96.0, baseline=0.5,
+                            width=320, height=192),
+        orb=ORBConfig(n_features=600, max_keypoints=768),
+        tracking=TrackingConfig(min_init_depth_kps=120, max_local_mappoints=4096,
+                                max_local_keyframes=16, motion_search_radius=35.0),
+        map=MapConfig(max_keyframes=64, max_mappoints=16384, max_obs_per_mp=16),
+        bow=BoWConfig(branching=6, depth=3),
+        ba=BAConfig(pcg_iters=20),
+    )
+
+
+@pytest.mark.slow
+def test_loop_closure_on_circle(cfg):
+    n_frames = 56
+    ds = SyntheticStereoDataset(cfg.camera, n_frames=n_frames, circle=True)
+    slam = SLAM(cfg)
+
+    est, gt = [], []
+    for i in range(n_frames):
+        imgL, imgR, Twc_gt = ds.frame(i)
+        Tcw, stats = slam.track(imgL, imgR)
+        assert Tcw is not None, f"lost at frame {i}: {stats}"
+        est.append(np.linalg.inv(Tcw))
+        gt.append(Twc_gt)
+
+    assert slam.n_keyframes >= 5
+    ate = ate_rmse(est, gt)
+    circumference = 2 * np.pi * 4.0
+    # trajectory quality after (potential) loop closure: generous bound —
+    # the assertion of interest is that the full pipeline runs end to end
+    assert ate < 0.08 * circumference, f"ATE {ate:.3f} over {circumference:.1f} m"
+    # final pose should be near the start (closed loop) — compare relative to
+    # each trajectory's own start frame (SLAM's world = first camera)
+    rel_est = np.linalg.inv(est[0]) @ est[-1]
+    rel_gt = np.linalg.inv(gt[0]) @ gt[-1]
+    d_end = np.linalg.norm(rel_est[:3, 3] - rel_gt[:3, 3])
+    assert d_end < 2.0, f"endpoint error {d_end:.2f} m"
