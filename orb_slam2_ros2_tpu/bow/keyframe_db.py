@@ -30,6 +30,18 @@ class KeyFrameDB(NamedTuple):
         return KeyFrameDB(bow=jnp.zeros((n_keyframes, n_words), jnp.float32))
 
 
+def rebuild(vocab: Vocabulary, state: MapState) -> KeyFrameDB:
+    """Recompute every valid keyframe's BoW row — the reference's database
+    refill after map load (System.cc:104-110), vmapped over keyframes."""
+    def one(desc, valid, kf_ok):
+        words = transform(vocab, desc, valid & kf_ok)
+        return bow_vector(vocab, words)
+
+    rows = jax.vmap(one)(state.kf_desc, state.kf_feat_valid, state.kf_valid[:, None])
+    rows = jnp.where(state.kf_valid[:, None], rows, 0.0)
+    return KeyFrameDB(bow=rows)
+
+
 def add_keyframe(db: KeyFrameDB, vocab: Vocabulary, kf_id, desc: jnp.ndarray, valid: jnp.ndarray) -> KeyFrameDB:
     """Compute and store the keyframe's BoW row (KeyFrameDB::addKeyFrame)."""
     words = transform(vocab, desc, valid)

@@ -282,7 +282,14 @@ class SLAM:
         self.frame_id += 1
 
         if self.state in (TrackState.NOT_IMAGE_YET, TrackState.NOT_INITING):
+            if self.n_keyframes > 0:
+                # a map exists (loaded or surviving) — localize instead of
+                # re-initializing (reference OnlyTracking/reuse mode)
+                return self._relocalize(frame, fid)
             return self._initialize(frame, fid)
+
+        if self.state == TrackState.LOST:
+            return self._relocalize(frame, fid)
 
         new_state, velocity, Tcw, stats, visible, found = self._track(
             self.cam, frame, self.last, self.velocity, self.local,
@@ -324,6 +331,72 @@ class SLAM:
         pose = np.asarray(Tcw)
         self.trajectory.append((fid, pose))
         return pose, {"initialized": True, "n_mappoints": int(self.map.next_mp)}
+
+    def _relocalize(self, frame: StereoFrame, fid: int):
+        """Relocalization against the keyframe database (reference
+        Tracking::trackReLocalize, src/Tracking.cc:531-629): BoW candidates →
+        dense descriptor match to candidate keyframes' map points →
+        EPnP-RANSAC → pose-only optimization, accept at ≥50 inliers."""
+        from ..bow.keyframe_db import find_reloc_candidates
+        from ..bow.vocabulary import bow_vector, transform
+        from ..ops.hamming import hamming_matrix
+        from ..solvers.epnp import ransac_pnp
+
+        if self.loop_closer is None:
+            return None, {"reloc": "no_vocab"}
+        vocab = self.loop_closer.vocab
+        words = transform(vocab, frame.feats.desc, frame.feats.valid)
+        qvec = bow_vector(vocab, words)
+        cand_ids, _ = find_reloc_candidates(self.loop_closer.db, self.map, qvec)
+        cand_ids = [int(c) for c in np.asarray(cand_ids) if c >= 0]
+        info = {"reloc_candidates": len(cand_ids)}
+        M = self.map.mp_capacity
+        for cand in cand_ids:
+            has_mp = self.map.kf_feat_valid[cand] & (self.map.kf_mp_idx[cand] >= 0)
+            dist = hamming_matrix(frame.feats.desc, self.map.kf_desc[cand])
+            cand_mask = frame.feats.valid[:, None] & has_mp[None, :]
+            masked = jnp.where(cand_mask, dist, 1 << 20)
+            best = jnp.min(masked, axis=1)
+            bj = jnp.argmin(masked, axis=1)
+            ok = best <= self.cfg.matcher.min_threshold
+            n_matches = int(jnp.sum(ok.astype(jnp.int32)))
+            if n_matches < 15:
+                continue
+            mp = self.map.kf_mp_idx[cand][bj]
+            pw = self.map.mp_pos[jnp.clip(mp, 0, M - 1)]
+            inv_s2 = jnp.power(
+                jnp.float32(1.0 / (self.cfg.orb.scale_factor**2)),
+                frame.feats.octave.astype(jnp.float32),
+            )
+            Tcw0, inl0, n0 = ransac_pnp(
+                self.cam, pw, frame.feats.uv, inv_s2, ok,
+                jax.random.PRNGKey(fid + cand),
+            )
+            if int(n0) < 10:
+                continue
+            obs = PoseObs(
+                pw=pw, uv=frame.feats.uv, right_u=frame.right_u,
+                inv_sigma2=inv_s2, is_stereo=frame.right_u > 0, valid=ok,
+            )
+            Tcw, inlier, n_in = optimize_pose(
+                self.cam, Tcw0, obs,
+                chi2_mono=self.cfg.ba.chi2_mono, chi2_stereo=self.cfg.ba.chi2_stereo,
+            )
+            if int(n_in) < self.cfg.tracking.min_localmap_inliers_reloc // 2:
+                continue
+            # accepted: rebuild tracking state around the matched keyframe
+            mp_ids = jnp.where(ok & inlier, mp, -1)
+            self.last = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=mp_ids)
+            self.velocity = jnp.eye(4, dtype=jnp.float32)
+            self.ref_kf = cand
+            self.local = self._snapshot(self.map, jnp.asarray(cand))
+            self.ref_kf_tracked = int(jnp.sum((self.map.kf_mp_idx[cand] >= 0).astype(jnp.int32)))
+            self.state = TrackState.OK
+            pose = np.asarray(Tcw)
+            self.trajectory.append((fid, pose))
+            info.update(relocalized=True, reloc_kf=cand, n_inliers=int(n_in))
+            return pose, info
+        return None, info
 
     def _need_keyframe(self, stats: dict) -> bool:
         """Keyframe decision (reference needNewKeyFrame, Tracking.cc:721-804):
@@ -408,6 +481,34 @@ class SLAM:
         )
         if self.local is not None:
             self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Persist map + vocabulary (reference map save at shutdown,
+        System.cc:194-198)."""
+        from ..io.persistence import save_map
+        from ..bow.vocabulary import save_vocabulary
+
+        save_map(path + ".map.npz", self.map, self.cfg)
+        if self.loop_closer is not None:
+            save_vocabulary(self.loop_closer.vocab, path + ".vocab.npz")
+
+    def load(self, path: str) -> None:
+        """Load a map for continued SLAM or localization-only reuse
+        (reference System.cc:98-110 + OnlyTracking mode)."""
+        from ..io.persistence import load_map
+        from ..bow.vocabulary import load_vocabulary
+        from ..bow.keyframe_db import rebuild
+        from .loop_closing import LoopCloser
+
+        self.map, _ = load_map(path + ".map.npz")
+        import os
+
+        if os.path.exists(path + ".vocab.npz"):
+            vocab = load_vocabulary(path + ".vocab.npz")
+            self.loop_closer = LoopCloser(self.cfg, vocab)
+            self.loop_closer.db = rebuild(vocab, self.map)
+        self.state = TrackState.NOT_INITING
 
     # ------------------------------------------------------------------
     @property
