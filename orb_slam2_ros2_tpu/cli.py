@@ -1,0 +1,154 @@
+"""Command-line drivers: the reference's example binaries as one CLI.
+
+Replaces example/Stereo/KittiStereo.cc, example/RGB-D/TUMRGBD.cc (reference
+L7) with::
+
+    python -m orb_slam2_ros2_tpu.cli kitti --seq /path/to/00 --config cfg.yaml
+    python -m orb_slam2_ros2_tpu.cli tum   --seq /path/to/fr2_desk
+    python -m orb_slam2_ros2_tpu.cli synth --frames 200          # no dataset needed
+
+Writes a KITTI-format trajectory (and TUM-format for tum/synth) plus a JSON
+stats line; evaluates ATE when ground truth is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_cfg(args, width, height):
+    from .config import SLAMConfig
+
+    if args.config:
+        cfg = SLAMConfig.from_yaml(args.config)
+    else:
+        cfg = SLAMConfig()
+    cam = cfg.camera
+    if (width, height) != (cam.width, cam.height):
+        cfg = cfg.replace(camera=cam.__class__(**{**cam.__dict__, "width": width, "height": height}))
+    return cfg
+
+
+def run_stereo(dataset, cfg, args):
+    import jax.numpy as jnp
+
+    from .pipeline.system import SLAM
+
+    slam = SLAM(cfg)
+    if args.load_map:
+        slam.load(args.load_map)
+    poses, stamps = [], []
+    t0 = time.time()
+    n = min(len(dataset), args.frames) if args.frames else len(dataset)
+    for i in range(n):
+        left, right, stamp = dataset.frame(i)
+        Tcw, stats = slam.track(jnp.asarray(left), jnp.asarray(right))
+        poses.append(np.linalg.inv(Tcw) if Tcw is not None else None)
+        stamps.append(stamp)
+        if i % 50 == 0:
+            print(f"frame {i}/{n}: {stats}", file=sys.stderr)
+    wall = time.time() - t0
+    return slam, poses, stamps, wall
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="orb_slam2_ros2_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("kitti", "tum", "synth"):
+        q = sub.add_parser(name)
+        q.add_argument("--seq", default="")
+        q.add_argument("--config", default="")
+        q.add_argument("--frames", type=int, default=0)
+        q.add_argument("--out", default="trajectory")
+        q.add_argument("--save-map", default="")
+        q.add_argument("--load-map", default="")
+        q.add_argument("--speed", type=float, default=0.8)
+        q.add_argument("--circle", action="store_true")
+    args = p.parse_args(argv)
+
+    from .io import trajectory as traj_io
+
+    if args.cmd == "kitti":
+        from .io.datasets import KittiStereoDataset
+
+        ds = KittiStereoDataset(args.seq)
+        h, w = ds.frame(0)[0].shape
+        cfg = _build_cfg(args, w, h)
+        slam, poses, stamps, wall = run_stereo(ds, cfg, args)
+        gt = None
+    elif args.cmd == "tum":
+        from .io.datasets import TumRGBDDataset
+        from .pipeline.system import SLAM
+        import jax.numpy as jnp
+
+        ds = TumRGBDDataset(args.seq)
+        h, w = ds.frame(0)[0].shape
+        cfg = _build_cfg(args, w, h)
+        slam = SLAM(cfg, rgbd=True)
+        if args.load_map:
+            slam.load(args.load_map)
+        poses, stamps = [], []
+        t0 = time.time()
+        n = min(len(ds), args.frames) if args.frames else len(ds)
+        for i in range(n):
+            gray, depth, stamp = ds.frame(i)
+            Tcw, stats = slam.track(jnp.asarray(gray), jnp.asarray(depth))
+            poses.append(np.linalg.inv(Tcw) if Tcw is not None else None)
+            stamps.append(stamp)
+        wall = time.time() - t0
+        gt = None
+    else:  # synth
+        import jax.numpy as jnp
+
+        from .io.synthetic import SyntheticStereoDataset
+        from .pipeline.system import SLAM
+
+        n = args.frames or 100
+        cfg = _build_cfg(args, 1241, 376) if args.config else None
+        if cfg is None:
+            from .config import SLAMConfig
+
+            cfg = SLAMConfig()
+        ds = SyntheticStereoDataset(cfg.camera, n_frames=n, speed=args.speed, circle=args.circle)
+        slam = SLAM(cfg)
+        poses, stamps, gt = [], [], []
+        t0 = time.time()
+        for i in range(n):
+            imgL, imgR, Twc_gt = ds.frame(i)
+            Tcw, stats = slam.track(imgL, imgR)
+            poses.append(np.linalg.inv(Tcw) if Tcw is not None else None)
+            stamps.append(i * 0.1)
+            gt.append(Twc_gt)
+            if i % 50 == 0:
+                print(f"frame {i}/{n}: {stats}", file=sys.stderr)
+        wall = time.time() - t0
+
+    tracked = [p_ for p_ in poses if p_ is not None]
+    out = {
+        "frames": len(poses),
+        "tracked": len(tracked),
+        "fps": round(len(poses) / wall, 2),
+        "keyframes": slam.n_keyframes,
+        "mappoints": slam.n_mappoints,
+        "loops_closed": getattr(slam, "loops_closed", 0),
+    }
+    if gt is not None and len(tracked) > len(poses) // 2:
+        pairs = [(p_, g) for p_, g in zip(poses, gt) if p_ is not None]
+        out["ate_rmse"] = round(traj_io.ate_rmse([a for a, _ in pairs], [b for _, b in pairs]), 4)
+
+    filled = [p_ if p_ is not None else np.eye(4) for p_ in poses]
+    traj_io.write_kitti(args.out + ".kitti.txt", filled)
+    traj_io.write_tum(args.out + ".tum.txt", stamps, filled)
+    if args.save_map:
+        slam.save(args.save_map)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

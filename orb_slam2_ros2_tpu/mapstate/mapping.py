@@ -224,6 +224,78 @@ def cull_mappoints(state: MapState, current_kf) -> MapState:
     )
 
 
+def cull_keyframes(
+    state: MapState,
+    kf_id,
+    *,
+    n_candidates: int = 10,
+    redundancy: float = 0.9,
+    min_obs: int = 3,
+) -> MapState:
+    """Remove redundant keyframes (reference cullingKeyFrames,
+    LocalMapping.cc:421-614): a covisible neighbour of the new KF is culled
+    when ≥90% of its map points are observed by ≥3 other keyframes at the
+    same or a finer pyramid octave.  Children are reparented to the culled
+    KF's parent (simplification of the reference's max-weight reparent
+    search, LocalMapping.cc:616-671).
+
+    The whole check is batched per candidate over its [N] feature slots and
+    their [O] observation fan-out.
+    """
+    K = state.kf_capacity
+    N = state.kf_mp_idx.shape[1]
+    M = state.mp_capacity
+    w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
+    _, cand_ids = jax.lax.top_k(w, n_candidates)
+
+    st = state
+    for j in range(n_candidates):
+        kj = cand_ids[j]
+        cand_ok = (w[cand_ids[j]] > 0) & (kj != kf_id) & (kj != 0) & st.kf_valid[kj]
+
+        mp = st.kf_mp_idx[kj]                      # [N]
+        has = (mp >= 0) & st.kf_feat_valid[kj]
+        mc = jnp.clip(mp, 0, M - 1)
+        my_oct = st.kf_octave[kj]                  # [N]
+        obs_kf = st.mp_obs_kf[mc]                  # [N, O]
+        obs_feat = st.mp_obs_feat[mc]
+        ok = (obs_kf >= 0) & (obs_kf != kj) & has[:, None]
+        octs = st.kf_octave[jnp.clip(obs_kf, 0, K - 1), jnp.clip(obs_feat, 0, N - 1)]
+        finer = ok & (octs <= my_oct[:, None] + 1)
+        n_finer = jnp.sum(finer.astype(jnp.int32), axis=1)
+        redundant = has & (n_finer >= min_obs)
+
+        n_mp = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
+        cull = cand_ok & (jnp.sum(redundant.astype(jnp.int32)) >= redundancy * n_mp) & (n_mp > 20)
+
+        # --- apply the cull functionally (masked no-op when cull is False) --
+        kf_valid = st.kf_valid.at[kj].set(jnp.where(cull, False, st.kf_valid[kj]))
+        # remove the KF's observations from its map points' fan-out lists
+        obs_match = st.mp_obs_kf[mc] == kj
+        clear = cull & has[:, None] & obs_match
+        new_obs_kf = jnp.where(clear, -1, st.mp_obs_kf[mc])
+        tgt = jnp.where(has & cull, mc, M)
+        mp_obs_kf = st.mp_obs_kf.at[tgt].set(new_obs_kf, mode="drop")
+        dec = jnp.sum(clear.astype(jnp.int32), axis=1)
+        mp_n_obs = st.mp_n_obs.at[tgt].add(-dec, mode="drop")
+        # clear the KF's slots and graph presence
+        kf_mp_idx = st.kf_mp_idx.at[kj].set(
+            jnp.where(cull, jnp.full((N,), -1, jnp.int32), st.kf_mp_idx[kj])
+        )
+        covis = st.covis.at[kj, :].set(jnp.where(cull, 0, st.covis[kj, :]))
+        covis = covis.at[:, kj].set(jnp.where(cull, 0, covis[:, kj]))
+        # reparent children to the culled KF's parent
+        parent = st.kf_parent[kj]
+        is_child = st.kf_parent == kj
+        kf_parent = jnp.where(is_child & cull, parent, st.kf_parent)
+        kf_parent = kf_parent.at[kj].set(jnp.where(cull, -1, kf_parent[kj]))
+        st = st._replace(
+            kf_valid=kf_valid, mp_obs_kf=mp_obs_kf, mp_n_obs=mp_n_obs,
+            kf_mp_idx=kf_mp_idx, covis=covis, kf_parent=kf_parent,
+        )
+    return st
+
+
 def fuse_into_keyframe(
     state: MapState,
     kf_id,

@@ -31,7 +31,12 @@ from ..geometry import se3
 from ..geometry.camera import CameraParams, unproject
 from ..mapstate.local_map import LocalMap, bump_tracking_counters, local_map_snapshot
 from ..mapstate.map_state import MapState, empty_map, insert_keyframe
-from ..mapstate.mapping import cull_mappoints, fuse_into_keyframe, triangulate_new_points
+from ..mapstate.mapping import (
+    cull_keyframes,
+    cull_mappoints,
+    fuse_into_keyframe,
+    triangulate_new_points,
+)
 from ..matching import matcher
 from ..solvers.pose_opt import PoseObs, optimize_pose
 from .tracking import TrackState
@@ -243,6 +248,9 @@ class SLAM:
             donate_argnums=(0,),
         )
         self._cull = jax.jit(cull_mappoints, donate_argnums=(0,))
+        self._cull_kfs = jax.jit(
+            partial(cull_keyframes, redundancy=mp.kf_cull_ratio), donate_argnums=(0,)
+        )
         self._snapshot = jax.jit(
             partial(
                 local_map_snapshot, max_kfs=t.max_local_keyframes,
@@ -423,6 +431,7 @@ class SLAM:
         self.map = self._fuse(self.map, kf_id, self.cam)
         if self._local_ba is not None:
             self.map = self._local_ba(self.map, kf_id, self.cam)
+        self.map = self._cull_kfs(self.map, kf_id)
         closed = False
         if self.enable_loop_closing:
             closed = self._loop_close(kf_id_i)
