@@ -145,9 +145,14 @@ def log(T: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize(T: jnp.ndarray) -> jnp.ndarray:
-    """Re-orthonormalize the rotation block via SVD (drift control)."""
-    R = R_of(T)
-    u, _, vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(u @ vt)
-    u = u.at[..., :, -1].multiply(jnp.sign(det)[..., None])
-    return from_Rt(u @ vt, t_of(T))
+    """Re-orthonormalize the rotation block (drift control).
+
+    Quaternion round-trip instead of an SVD: ``jnp.linalg.svd`` on 3×3 lowers
+    to an iterative routine costing ~ms on TPU; the closed-form
+    rot→quat→normalize→rot projection is a handful of vector ops and is
+    exact for rotations already near SO(3).
+    """
+    from ..solvers.linalg_small import quat_to_rot, rot_to_quat
+
+    q = rot_to_quat(R_of(T))
+    return from_Rt(quat_to_rot(q), t_of(T))

@@ -109,8 +109,10 @@ def _gn_step(cam, prob, Tcw, pts, gate, lam, pcg_iters, chi2_th, axis: Optional[
     b_p = jnp.einsum("poki,pok,pok->pi", Jp, wm, r)
     G = jnp.einsum("poki,pok,pokj->poij", Jc, wm, Jp)      # [P, O, 6, 3]
 
+    from .linalg_small import inv3
+
     lamI = lam * jnp.eye(3)
-    Wp = jnp.linalg.inv(Hpp + lamI[None] + 1e-9 * jnp.eye(3)[None])
+    Wp = inv3(Hpp + lamI[None] + 1e-9 * jnp.eye(3)[None])
     Wp = jnp.where(prob.pt_valid[:, None, None], Wp, 0.0)
 
     # camera-space accumulators (psum across point shards)
@@ -137,11 +139,14 @@ def _gn_step(cam, prob, Tcw, pts, gate, lam, pcg_iters, chi2_th, axis: Optional[
         y = y - allsum(jnp.zeros((C + 1, 6)).at[flat_ci].add(back_e)[:C])
         return y
 
-    # Jacobi (block-diagonal) preconditioner from Hcc
-    Pinv = jnp.linalg.inv(Hcc + (lam + 1.0) * jnp.eye(6)[None])
+    # Jacobi (block-diagonal) preconditioner from Hcc, applied via an
+    # unrolled batched 6×6 Cholesky solve (generic batched inv is slow on TPU)
+    from .linalg_small import cholesky_solve_spd
+
+    Hcc_p = Hcc + (lam + 1.0) * jnp.eye(6)[None]
 
     def precond(v):
-        return jnp.einsum("cij,cj->ci", Pinv, v)
+        return cholesky_solve_spd(Hcc_p, v)
 
     b = -b_schur
 

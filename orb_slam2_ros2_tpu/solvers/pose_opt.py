@@ -136,7 +136,9 @@ def optimize_pose(
             H = jnp.einsum("mki,mk,mkj->ij", J, wm, J)
             b = jnp.einsum("mki,mk,mk->i", J, wm, r)
             H = H + lam * (jnp.eye(6, dtype=H.dtype) + jnp.diag(jnp.diag(H)))
-            dx = -jnp.linalg.solve(H, b)
+            from .linalg_small import cholesky_solve_spd
+
+            dx = -cholesky_solve_spd(H, b)
             dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
             T_new = se3.exp(dx) @ T
             cost_new = robust_cost(T_new, use_huber)

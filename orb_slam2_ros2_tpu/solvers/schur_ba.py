@@ -121,8 +121,10 @@ def _solve_iteration(cam, prob, Tcw, pts, weights, lam):
     B = jax.vmap(per_cam_B)(G, slot)                     # [C, P, 6, 3]
 
     # landmark marginalization
+    from .linalg_small import inv3
+
     lamI3 = lam * jnp.eye(3)
-    Wp = jnp.linalg.inv(Hpp + lamI3[None] + 1e-9 * jnp.eye(3)[None])  # [P, 3, 3]
+    Wp = inv3(Hpp + lamI3[None] + 1e-9 * jnp.eye(3)[None])  # [P, 3, 3]
     Wp = jnp.where(prob.pt_valid[:, None, None], Wp, 0.0)
 
     BW = jnp.einsum("cpij,pjk->cpik", B, Wp)             # [C, P, 6, 3]
