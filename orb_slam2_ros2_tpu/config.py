@@ -71,7 +71,10 @@ class ORBConfig:
     scale_factor: float = 1.2
     ini_th_fast: int = 20  # high FAST threshold (ORBExtractor.cc:331-387)
     min_th_fast: int = 7   # fallback low threshold
-    edge_border: int = 19  # keypoint border (ORBExtractor.cc:523)
+    # keypoint border: the reference uses 19 (ORBExtractor.cc:523); ours is 23
+    # because the unified 45×45 patch (BRIEF reach 19 + 3-px blur apron) must
+    # stay inside the keypoint's own pyramid level
+    edge_border: int = 23
     patch_radius: int = 15  # grey-centroid orientation radius (ORBExtractor.cc:518)
     # TPU-native replacement for the reference quadtree (ORBExtractor.cc:19-192):
     # per-level spatial cells with top-k-by-response selection.  Cell size in px

@@ -51,12 +51,11 @@ def extract_features(
     ini_th: float,
     cell: int,
     undistort: bool,
-) -> Tuple[FrameFeatures, jnp.ndarray, jnp.ndarray]:
-    """One image → (FrameFeatures, raw canvas, blurred canvas)."""
-    levels, blurred = build_pyramid(img, n_levels, scale_factor)
+) -> Tuple[FrameFeatures, jnp.ndarray]:
+    """One image → (FrameFeatures, raw pyramid canvas)."""
+    levels = build_pyramid(img, n_levels, scale_factor)
     row_off_np, total_rows, _ = canvas_layout(h, w, n_levels, scale_factor)
     canvas_raw = build_canvas(levels, w, total_rows)
-    canvas_blur = build_canvas(blurred, w, total_rows)
     row_off = jnp.asarray(row_off_np)
 
     uts, resps, valids, octs = [], [], [], []
@@ -76,10 +75,11 @@ def extract_features(
     valid = jnp.concatenate(valids)
     octave = jnp.concatenate(octs)
 
+    # ONE 45×45 patch gather serves orientation, blurring and BRIEF sampling
     centers = stereo.canvas_centers(uv_raw, octave, scale_factor, row_off)
-    patches_raw = extract_patches(canvas_raw, centers, brief.PATCH_HALF)
-    angles_rad = brief.orientations(patches_raw)
-    patches_blur = extract_patches(canvas_blur, centers, brief.PATCH_HALF)
+    patches = extract_patches(canvas_raw, centers, brief.PATCH_HALF)
+    angles_rad = brief.orientations(patches)
+    patches_blur = brief.blur_patches(patches)
     desc = brief.describe(patches_blur, angles_rad)
 
     uv = cam_mod.undistort_points(cam, uv_raw) if undistort else uv_raw
@@ -92,7 +92,7 @@ def extract_features(
         desc=desc,
         valid=valid,
     )
-    return feats, canvas_raw, canvas_blur
+    return feats, canvas_raw
 
 
 def make_extractor(cfg: SLAMConfig):
@@ -127,8 +127,8 @@ def make_stereo_frontend(cfg: SLAMConfig):
             caps=caps, border=o.edge_border, min_th=float(o.min_th_fast),
             ini_th=float(o.ini_th_fast), cell=o.cell_size, undistort=c.has_distortion,
         )
-        featL, canL, _ = ex(img_l)
-        featR, canR, _ = ex(img_r)
+        featL, canL = ex(img_l)
+        featR, canR = ex(img_r)
         right_u, depth = stereo.stereo_match(
             featL, featR, canL, canR, jnp.asarray(row_off_np),
             scale_factor=o.scale_factor, fx=c.fx, bf=c.bf, image_width=c.width,
@@ -151,7 +151,7 @@ def make_rgbd_frontend(cfg: SLAMConfig):
     caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
 
     def frontend(img: jnp.ndarray, depth_map: jnp.ndarray, cam: cam_mod.CameraParams) -> StereoFrame:
-        feats, _, _ = extract_features(
+        feats, _ = extract_features(
             img, cam,
             h=c.height, w=c.width, n_levels=o.n_levels, scale_factor=o.scale_factor,
             caps=caps, border=o.edge_border, min_th=float(o.min_th_fast),

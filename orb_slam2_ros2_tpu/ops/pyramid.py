@@ -52,11 +52,16 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
 
 @partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
 def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2):
-    """[H, W] f32 → (levels, blurred_levels), each a tuple of [Hl, Wl] f32.
+    """[H, W] f32 → tuple of [Hl, Wl] f32 levels.
 
     Bilinear downsampling (cv::resize INTER_LINEAR equivalent,
     ORBExtractor.cc:287) from the previous level, matching the reference's
     successive-resize chain rather than resizing level 0 each time.
+
+    Unlike the reference there is NO per-level Gaussian-blurred copy
+    (ORBExtractor.cc:311-318): BRIEF blurs only its extracted patches
+    (ops.brief.blur_patches) — whole-level blurs cost ~32 ms/image on TPU
+    for values that are never read outside keypoint neighbourhoods.
     """
     h, w = img.shape
     shapes = level_shapes(h, w, n_levels, scale_factor)
@@ -64,5 +69,4 @@ def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2
     for l in range(1, n_levels):
         prev = levels[-1]
         levels.append(jax.image.resize(prev, shapes[l], method="linear"))
-    blurred = [gaussian_blur(lv) for lv in levels]
-    return tuple(levels), tuple(blurred)
+    return tuple(levels)

@@ -96,7 +96,7 @@ class TestHamming:
 class TestBRIEF:
     def test_descriptor_determinism_and_locality(self):
         r = np.random.default_rng(4)
-        patches = jnp.asarray(r.uniform(0, 255, (4, 39, 39)).astype(np.float32))
+        patches = jnp.asarray(r.uniform(0, 255, (4, 45, 45)).astype(np.float32))
         angles = jnp.zeros((4,))
         d1 = brief.describe(patches, angles)
         d2 = brief.describe(patches, angles)
@@ -115,10 +115,10 @@ class TestBRIEF:
         from scipy.ndimage import gaussian_filter, rotate
 
         base = gaussian_filter(base, 2.0)
-        patch0 = base[40 - 19 : 40 + 20, 40 - 19 : 40 + 20]
+        patch0 = base[40 - 22 : 40 + 23, 40 - 22 : 40 + 23]
         ang = 90.0
         rot = rotate(base, -ang, reshape=False, order=1)
-        patch1 = rot[40 - 19 : 40 + 20, 40 - 19 : 40 + 20]
+        patch1 = rot[40 - 22 : 40 + 23, 40 - 22 : 40 + 23]
         d0 = brief.describe(jnp.asarray(patch0[None]), jnp.asarray([0.0]))
         d1_rot = brief.describe(jnp.asarray(patch1[None]), jnp.asarray([np.deg2rad(ang)]))
         d1_norot = brief.describe(jnp.asarray(patch1[None]), jnp.asarray([0.0]))
@@ -135,7 +135,7 @@ class TestExtractor:
         img, _, _ = ds.frame(0)
         ex = make_extractor(cfg)
         cam = CameraParams.from_config(cfg.camera)
-        feats, canvas_raw, canvas_blur = ex(img, cam)
+        feats, canvas_raw = ex(img, cam)
         valid = np.asarray(feats.valid)
         assert valid.sum() > 200
         uv = np.asarray(feats.uv)[valid]
