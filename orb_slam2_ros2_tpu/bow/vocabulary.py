@@ -144,6 +144,63 @@ def bow_vector(vocab: Vocabulary, word_ids: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
 
 
+def load_dbow_text(path: str) -> Vocabulary:
+    """Parse a DBoW2/DBoW3 text vocabulary (the ORBvoc.txt the reference
+    loads for minutes at startup, System.cc:92-95) into the array tree.
+
+    Format: first line ``k L scoring weighting``; then one node per line:
+    ``parent_id is_leaf d0 … d31 weight`` in depth-first parent order.  Nodes
+    are re-laid out into this module's contiguous-children level tables; a
+    parent with fewer than k children keeps duplicate filler centroids (its
+    own descriptor), which never win the hamming argmin ties meaningfully.
+    """
+    with open(path) as f:
+        first = f.readline().split()
+        k, L = int(first[0]), int(first[1])
+        parents: List[int] = []
+        descs: List[np.ndarray] = []
+        weights: List[float] = []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            d = np.array([int(x) for x in parts[2:34]], np.uint8)
+            descs.append(d.view(np.uint32))
+            weights.append(float(parts[34]))
+
+    n_nodes = len(descs)
+    children: dict = {}
+    for i, p in enumerate(parents):
+        children.setdefault(p, []).append(i)
+
+    levels_np = [np.zeros((k ** (d + 1), 8), np.uint32) for d in range(L)]
+    idf = np.zeros((k**L,), np.float32)
+    # DBoW node 0 is the root (implicit, not in the file when parent ids are
+    # offset); walk breadth-first assigning contiguous slots
+    def fill(node_file_ids, depth, base):
+        """node_file_ids: children of one parent; base: slot of parent × k."""
+        for ci, fid in enumerate(node_file_ids[:k]):
+            slot = base + ci
+            levels_np[depth][slot] = descs[fid]
+            if depth + 1 < L:
+                fill(children.get(fid + 1, []), depth + 1, slot * k)
+            else:
+                idf[slot] = weights[fid]
+        # pad missing children with the first child's centroid
+        if node_file_ids:
+            for ci in range(len(node_file_ids), k):
+                levels_np[depth][base + ci] = descs[node_file_ids[0]]
+
+    fill(children.get(0, []), 0, 0)
+    return Vocabulary(
+        levels=tuple(jnp.asarray(t) for t in levels_np),
+        idf=jnp.asarray(np.maximum(idf, 1e-3)),
+        branching=k,
+        depth=L,
+    )
+
+
 def save_vocabulary(vocab: Vocabulary, path: str) -> None:
     np.savez_compressed(
         path,

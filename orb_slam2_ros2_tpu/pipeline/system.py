@@ -305,8 +305,14 @@ class SLAM:
         )
         stats = {k: int(v) for k, v in stats.items()}
         if stats["n_inliers"] < self.cfg.tracking.min_track_inliers:
-            self.state = TrackState.LOST
-            return None, stats
+            # fallback: track against the reference keyframe (the reference's
+            # trackReference, Tracking.cc:360-371) before declaring LOST
+            ok = self._track_reference(frame, stats)
+            if not ok:
+                self.state = TrackState.LOST
+                return None, stats
+            new_state, velocity, Tcw = self._ref_result
+            stats["ref_fallback"] = 1
 
         self.map = self._bump(self.map, self.local, visible, found)
         self.last = new_state
@@ -339,6 +345,50 @@ class SLAM:
         pose = np.asarray(Tcw)
         self.trajectory.append((fid, pose))
         return pose, {"initialized": True, "n_mappoints": int(self.map.next_mp)}
+
+    def _track_reference(self, frame: StereoFrame, stats: dict) -> bool:
+        """Reference-keyframe fallback tracking: dense descriptor match to the
+        reference KF's map points + pose-only optimization from the LAST pose
+        (no motion model) — reference trackReference, Tracking.cc:360-371."""
+        from ..ops.hamming import hamming_matrix
+
+        kf = self.ref_kf
+        M = self.map.mp_capacity
+        has_mp = self.map.kf_feat_valid[kf] & (self.map.kf_mp_idx[kf] >= 0)
+        dist = hamming_matrix(frame.feats.desc, self.map.kf_desc[kf])
+        cand = frame.feats.valid[:, None] & has_mp[None, :]
+        import jax.numpy as jnp_
+
+        masked = jnp_.where(cand, dist, 1 << 20)
+        best = jnp_.min(masked, axis=1)
+        bj = jnp_.argmin(masked, axis=1)
+        second = jnp_.partition(masked, 1, axis=1)[:, 1]
+        ok = (best <= self.cfg.matcher.min_threshold) & (
+            best.astype(jnp_.float32) < self.cfg.matcher.nn_ratio_bow * second.astype(jnp_.float32)
+        )
+        if int(jnp_.sum(ok.astype(jnp_.int32))) < 10:
+            return False
+        mp = self.map.kf_mp_idx[kf][bj]
+        pw = self.map.mp_pos[jnp_.clip(mp, 0, M - 1)]
+        inv_s2 = jnp_.power(
+            jnp_.float32(1.0 / (self.cfg.orb.scale_factor**2)),
+            frame.feats.octave.astype(jnp_.float32),
+        )
+        obs = PoseObs(pw=pw, uv=frame.feats.uv, right_u=frame.right_u,
+                      inv_sigma2=inv_s2, is_stereo=frame.right_u > 0, valid=ok)
+        Tcw, inlier, n_in = optimize_pose(
+            self.cam, self.last.Tcw, obs,
+            chi2_mono=self.cfg.ba.chi2_mono, chi2_stereo=self.cfg.ba.chi2_stereo,
+        )
+        if int(n_in) < self.cfg.tracking.min_track_inliers:
+            return False
+        mp_ids = jnp_.where(ok & inlier, mp, -1)
+        new_state = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=mp_ids)
+        velocity = Tcw @ se3.inverse(self.last.Tcw)
+        stats["n_inliers"] = int(n_in)
+        stats["n_tracked"] = int(jnp_.sum((mp_ids >= 0).astype(jnp_.int32)))
+        self._ref_result = (new_state, velocity, Tcw)
+        return True
 
     def _relocalize(self, frame: StereoFrame, fid: int):
         """Relocalization against the keyframe database (reference
