@@ -106,9 +106,10 @@ def triangulate_new_points(
 
         cand = free1[:, None] & free2[None, :] & epi_ok
         masked = jnp.where(cand, dist, 1 << 20)
-        neg2, idx2 = jax.lax.top_k(-masked, 2)
-        best, second = -neg2[:, 0], -neg2[:, 1]
-        bj = idx2[:, 0]
+        best = jnp.min(masked, axis=1)
+        bj = jnp.argmin(masked, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1)
+        second = jnp.min(jnp.where(cols == bj[:, None], 1 << 20, masked), axis=1)
         m_ok = (best <= max_dist) & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
         m_ok = m_ok & ok_nb & base_ok
 

@@ -52,9 +52,12 @@ def best_match(
     (second-best = BIG ⇒ ratio ≈ 0), like the reference's INT_MAX second.
     """
     masked = jnp.where(cand_mask, dist, BIG)
-    neg2, idx2 = jax.lax.top_k(-masked, 2)
-    best, second = -neg2[:, 0], -neg2[:, 1]
-    best_idx = idx2[:, 0]
+    # best + second-best via two min passes (row-wise top_k is sort-based and
+    # markedly slower on TPU)
+    best = jnp.min(masked, axis=1)
+    best_idx = jnp.argmin(masked, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1)
+    second = jnp.min(jnp.where(cols == best_idx[:, None], BIG, masked), axis=1)
     ok = (best <= max_dist) & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
     return MatchResult(idx=jnp.where(ok, best_idx, -1), dist=best)
 

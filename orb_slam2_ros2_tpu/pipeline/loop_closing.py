@@ -58,9 +58,10 @@ def match_mappoint_features(
     cand = has1[:, None] & has2[None, :]
     BIG = 1 << 20
     masked = jnp.where(cand, dist, BIG)
-    neg2, idx2 = jax.lax.top_k(-masked, 2)
-    best, second = -neg2[:, 0], -neg2[:, 1]
-    bj = idx2[:, 0]
+    best = jnp.min(masked, axis=1)
+    bj = jnp.argmin(masked, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1)
+    second = jnp.min(jnp.where(cols == bj[:, None], BIG, masked), axis=1)
     ok = (best <= max_dist) & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
     # mutual best
     best_i = jnp.argmin(masked, axis=0)
