@@ -70,6 +70,8 @@ def motion_track_step(
     sigma2_base: float,
     chi2_mono: float,
     chi2_stereo: float,
+    pose_rounds: int = 4,
+    pose_iters: int = 10,
 ):
     """One fused motion-model tracking step.
 
@@ -108,7 +110,8 @@ def motion_track_step(
         valid=m.found,
     )
     Tcw_opt, inlier, n_inliers = optimize_pose(
-        cam, Tcw_pred, obs, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo
+        cam, Tcw_pred, obs, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+        rounds=pose_rounds, iters_per_round=pose_iters,
     )
     return Tcw_opt, n_matches, n_inliers, m, inlier
 
