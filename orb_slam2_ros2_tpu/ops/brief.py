@@ -139,9 +139,14 @@ def describe(patches_blurred: jnp.ndarray, angles: jnp.ndarray, seed: int = 17) 
     TPU gathers at 10⁶ elements cost ~8 ms/image, this is ~0.5 ms of matmul.
     """
     n = patches_blurred.shape[0]
-    flat = patches_blurred.reshape(n, -1)
-    D = jnp.asarray(_pair_difference_matrix(seed))
-    scores = (flat @ D).reshape(n, N_ANGLE_BINS, N_PAIRS)  # [N, 32, 256]
+    flat = patches_blurred.reshape(n, -1).astype(jnp.bfloat16)
+    # bf16 inputs, f32 accumulate: ±1 pair entries are exact, patch values
+    # round to ~1 gray level — comparisons of near-equal intensities are
+    # noise-dominated anyway, and the matmul runs 4-8× faster than f32
+    D = jnp.asarray(_pair_difference_matrix(seed)).astype(jnp.bfloat16)
+    scores = jnp.dot(flat, D, preferred_element_type=jnp.float32).reshape(
+        n, N_ANGLE_BINS, N_PAIRS
+    )
 
     two_pi = 2.0 * jnp.pi
     frac = jnp.mod(angles, two_pi) / two_pi
