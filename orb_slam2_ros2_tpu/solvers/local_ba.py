@@ -110,14 +110,25 @@ def local_ba(
     prob, cam_ids, pt_ids = extract_window(
         state, kf_id, max_free=max_free, max_fixed=max_fixed, max_points=max_points
     )
-    Tcw_opt, pts_opt, _ = solve_ba(
+    Tcw_opt, pts_opt, edge_inlier = solve_ba(
         cam, prob, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
         phase_iters=phase_iters, lam=lam,
     )
     K = state.kf_capacity
     M = state.mp_capacity
+    N = state.kf_mp_idx.shape[1]
     write_cam = prob.cam_free & (cam_ids >= 0)
     kf_Tcw = state.kf_Tcw.at[jnp.where(write_cam, cam_ids, K)].set(Tcw_opt, mode="drop")
     write_pt = prob.pt_valid & (pt_ids >= 0)
     mp_pos = state.mp_pos.at[jnp.where(write_pt, pt_ids, M)].set(pts_opt, mode="drop")
-    return state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos)
+
+    # remove outlier observations from free keyframes (the reference deletes
+    # high-χ² edges' observations after local BA, Optimizer.cc:391-430):
+    # clear the keyframe's feature slot so the association never returns
+    outlier = prob.edge_valid & ~edge_inlier & prob.cam_free[:, None]
+    rows = jnp.broadcast_to(cam_ids[:, None], outlier.shape)
+    cols = jnp.broadcast_to(jnp.arange(N)[None, :], outlier.shape)
+    flat_r = jnp.where(outlier, rows, K).reshape(-1)
+    flat_c = jnp.clip(cols, 0, N - 1).reshape(-1)
+    kf_mp_idx = state.kf_mp_idx.at[flat_r, flat_c].set(-1, mode="drop")
+    return state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp_idx=kf_mp_idx)
