@@ -104,21 +104,31 @@ def _solve_iteration(cam, prob, Tcw, pts, weights, lam):
     Hcc = jnp.einsum("cnki,cnk,cnkj->cij", Jc, wm, Jc)   # [C, 6, 6]
     b_c = jnp.einsum("cnki,cnk,cnk->ci", Jc, wm, r)      # [C, 6]
 
-    # per-point blocks (segment-sum over all cameras' slots)
+    # --- per-point segment reductions as one-hot MXU matmuls ---------------
+    # TPU scatter-add lowers to a sort-based routine costing hundreds of ms
+    # at this size; onehotᵀ @ [G | Hpp | b_p] is a few ms of matmul traffic.
+    # Everything stays f32: the normal-equation blocks span enough dynamic
+    # range that bf16 operands make Wp = (Hpp+λ)⁻¹ garbage and the solver
+    # diverges (verified) — the one-hot matmul is bandwidth-bound anyway.
     slot = jnp.where(prob.edge_valid, prob.pt_slot, P)
-    flat_slot = slot.reshape(-1)
-    Hpp_e = jnp.einsum("cnki,cnk,cnkj->cnij", Jp, wm, Jp).reshape(-1, 3, 3)
-    b_p_e = jnp.einsum("cnki,cnk,cnk->cni", Jp, wm, r).reshape(-1, 3)
-    Hpp = jnp.zeros((P + 1, 3, 3)).at[flat_slot].add(Hpp_e)[:P]
-    b_p = jnp.zeros((P + 1, 3)).at[flat_slot].add(b_p_e)[:P]
-
-    # camera-point coupling → B [C, P, 6, 3] assembled per camera row
     G = jnp.einsum("cnki,cnk,cnkj->cnij", Jc, wm, Jp)    # [C, N, 6, 3]
+    Hpp_e = jnp.einsum("cnki,cnk,cnkj->cnij", Jp, wm, Jp)  # [C, N, 3, 3]
+    b_p_e = jnp.einsum("cnki,cnk,cnk->cni", Jp, wm, r)     # [C, N, 3]
 
-    def per_cam_B(g_c, slot_c):
-        return jnp.zeros((P + 1, 6, 3)).at[slot_c].add(g_c)[:P]
+    payload = jnp.concatenate(
+        [G.reshape(C, N, 18), Hpp_e.reshape(C, N, 9), b_p_e], axis=-1
+    )                                                     # [C, N, 30] f32
 
-    B = jax.vmap(per_cam_B)(G, slot)                     # [C, P, 6, 3]
+    def per_cam(slot_c, pay_c):
+        onehot = (slot_c[:, None] == jnp.arange(P)[None, :]).astype(jnp.float32)
+        return jnp.einsum(
+            "np,nz->pz", onehot, pay_c, preferred_element_type=jnp.float32
+        )                                                 # [P, 30]
+
+    seg = jax.vmap(per_cam)(slot, payload)                # [C, P, 30]
+    B = seg[..., :18].reshape(C, P, 6, 3)
+    Hpp = jnp.sum(seg[..., 18:27], axis=0).reshape(P, 3, 3)
+    b_p = jnp.sum(seg[..., 27:30], axis=0)                # [P, 3]
 
     # landmark marginalization
     from .linalg_small import inv3
