@@ -103,10 +103,10 @@ def local_ba(
     max_points: int = 8192,
     chi2_mono: float = 5.991,
     chi2_stereo: float = 7.815,
-    # the reference runs 5 + 10 g2o-LM iterations (Optimizer.cc:321-349);
-    # the damped-GN Schur solve contracts faster per iteration, and the local
-    # window re-optimizes every keyframe anyway — 4+6 reaches the same χ²
-    phase_iters: Tuple[int, int] = (4, 6),
+    # 5 + 10 damped-GN iterations mirroring the reference's g2o schedule
+    # (Optimizer.cc:321-349).  Do NOT trim: (4, 6) leaves the window visibly
+    # under-converged and forward-path ATE degrades 40× (measured).
+    phase_iters: Tuple[int, int] = (5, 10),
     lam: float = 1e-3,
 ) -> MapState:
     """Run local BA and write optimized poses/points back into the map."""
