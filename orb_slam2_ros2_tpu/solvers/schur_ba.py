@@ -188,14 +188,34 @@ def solve_ba(
     Tcw, pts = prob.cam_Tcw, prob.pt_pos
     gate = prob.edge_valid
 
+    def robust_cost(Tcw_, pts_, gate_):
+        chi2 = _chi2(cam, prob, Tcw_, pts_)
+        rho = jnp.where(
+            chi2 <= chi2_th, chi2,
+            2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 1e-12)) - chi2_th,
+        )
+        return jnp.sum(jnp.where(gate_, rho, 0.0))
+
     for n_iters in phase_iters:
         def body(_, carry):
-            Tcw, pts = carry
+            """Levenberg-Marquardt with step acceptance: reject steps that
+            raise the robust cost and raise λ instead — lets short schedules
+            keep full accuracy (plain damped GN needs the reference's full
+            5+10 to converge)."""
+            Tcw, pts, lam_c, cost = carry
             chi2 = _chi2(cam, prob, Tcw, pts)
             w = gate.astype(jnp.float32) * prob.inv_sigma2 * huber_weight(chi2, chi2_th)
-            return _solve_iteration(cam, prob, Tcw, pts, w, lam)
+            Tcw_new, pts_new = _solve_iteration(cam, prob, Tcw, pts, w, lam_c)
+            cost_new = robust_cost(Tcw_new, pts_new, gate)
+            accept = cost_new < cost
+            Tcw = jnp.where(accept, Tcw_new, Tcw)
+            pts = jnp.where(accept, pts_new, pts)
+            cost = jnp.where(accept, cost_new, cost)
+            lam_c = jnp.clip(jnp.where(accept, lam_c * 0.5, lam_c * 8.0), 1e-6, 1e3)
+            return Tcw, pts, lam_c, cost
 
-        Tcw, pts = jax.lax.fori_loop(0, n_iters, body, (Tcw, pts))
+        carry = (Tcw, pts, jnp.asarray(lam, jnp.float32), robust_cost(Tcw, pts, gate))
+        Tcw, pts, _, _ = jax.lax.fori_loop(0, n_iters, body, carry)
         chi2 = _chi2(cam, prob, Tcw, pts)
         gate = prob.edge_valid & (chi2 < chi2_th)
 
