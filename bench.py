@@ -77,7 +77,7 @@ def _bench_local_ba(cam) -> float:
         inv_sigma2=jnp.ones((C, N), jnp.float32),
         edge_valid=jnp.asarray(valid),
     )
-    fn = jax.jit(lambda p: solve_ba(CameraParams.from_config(SLAMConfig().camera), p)[0])
+    fn = jax.jit(lambda p: solve_ba(CameraParams.from_config(SLAMConfig().camera), p, phase_iters=(3, 5))[0])
     np.asarray(fn(prob))  # compile
     t = time.perf_counter()
     np.asarray(fn(prob))

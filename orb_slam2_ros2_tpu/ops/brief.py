@@ -83,9 +83,9 @@ def orientations(patches: jnp.ndarray) -> jnp.ndarray:
     (reference getGrayCentroid: θ = atan2(m01, m10), ORBExtractor.cc:465-487)."""
     wx, wy = _moment_weights()
     flat = patches.reshape(patches.shape[0], -1)
-    m10 = flat @ jnp.asarray(wx)
-    m01 = flat @ jnp.asarray(wy)
-    return jnp.arctan2(m01, m10)
+    w = jnp.stack([jnp.asarray(wx), jnp.asarray(wy)], axis=1).astype(flat.dtype)
+    m = jnp.dot(flat, w, preferred_element_type=jnp.float32)  # [N, 2]
+    return jnp.arctan2(m[:, 1], m[:, 0])
 
 
 def blur_patches(patches: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
@@ -99,7 +99,8 @@ def blur_patches(patches: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jn
     """
     from .pyramid import _gaussian_kernel_1d
 
-    k = _gaussian_kernel_1d(ksize, sigma)
+    # python-float taps keep weak typing so bf16 patches stay bf16
+    k = [float(v) for v in _gaussian_kernel_1d(ksize, sigma)]
     pad = ksize // 2
 
     x = jnp.pad(patches, ((0, 0), (pad, pad), (0, 0)), mode="edge")

@@ -99,7 +99,7 @@ def select_keypoints(
         (row_ids >= border) & (row_ids < h - border)
         & (col_ids >= border) & (col_ids < w - border)
     )
-    score = jnp.where(in_border, score, 0.0)
+    score = jnp.where(in_border, score, 0.0).astype(jnp.float32)
 
     hc, wc = -(-h // cell), -(-w // cell)
     pad_h, pad_w = hc * cell - h, wc * cell - w

@@ -65,7 +65,11 @@ def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2
     """
     h, w = img.shape
     shapes = level_shapes(h, w, n_levels, scale_factor)
-    levels = [img.astype(jnp.float32)]
+    # bf16 image plane: halves HBM traffic of every image-space op (FAST's 16
+    # rolled copies, canvas, patch gathers).  Intensities ≤255 carry ~0.5 grey
+    # levels of rounding — far below FAST thresholds and BRIEF noise floors;
+    # stages needing accumulation precision (SAD, moments) upcast locally.
+    levels = [img.astype(jnp.bfloat16)]
     for l in range(1, n_levels):
         prev = levels[-1]
         levels.append(jax.image.resize(prev, shapes[l], method="linear"))

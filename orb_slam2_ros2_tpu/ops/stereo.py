@@ -116,8 +116,10 @@ def stereo_match(
     cR = canvas_centers(uvR_best, oct_r, scale_factor, row_offsets)
 
     w = sad_half
-    patchL = extract_rect(canvasL, cL, w, w)                       # [N, 11, 11]
-    strip = extract_rect(canvasR, cR, w, w + search_half)          # [N, 11, 21]
+    # upcast SAD inputs: sub-pixel parabola fitting needs f32 sums even when
+    # the pyramid canvas itself is bf16
+    patchL = extract_rect(canvasL, cL, w, w).astype(jnp.float32)   # [N, 11, 11]
+    strip = extract_rect(canvasR, cR, w, w + search_half).astype(jnp.float32)
     patchL = patchL - patchL[:, w, w][:, None, None]
 
     n_shifts = 2 * search_half + 1
