@@ -100,6 +100,8 @@ def _gn_step(cam, prob, Tcw, pts, gate, lam, pcg_iters, chi2_th, axis: Optional[
     r, Jc, Jp, dim = _point_edge_terms(cam, prob, Tcw, pts)
     chi2 = jnp.sum(r * r * dim, axis=-1) * prob.obs_inv_sigma2
     w = gate.astype(jnp.float32) * prob.obs_inv_sigma2 * huber_weight(chi2, chi2_th)
+    # truncated influence: degenerate edges (χ² ≥ 1e4×th) contribute nothing
+    w = jnp.where(chi2 < 1e4 * chi2_th, w, 0.0)
     # fixed cameras contribute no camera gradient
     free_o = prob.cam_free[jnp.clip(prob.obs_cam, 0, C - 1)]
     Jc = jnp.where(free_o[..., None, None], Jc, 0.0)

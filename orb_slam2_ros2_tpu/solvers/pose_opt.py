@@ -104,16 +104,26 @@ def optimize_pose(
     chi2_th = jnp.where(obs.is_stereo, chi2_stereo, chi2_mono)
     inlier = obs.valid
 
+    # Truncation cut: beyond this the loss is CONSTANT (zero influence).
+    # Huber alone is not redescending — one catastrophic mismatch (a point
+    # projected at the z-clamp gives χ² ~1e17) out-weighs hundreds of good
+    # observations through the linear tail and drags the pose off before the
+    # χ² gates can react (observed).  Real mismatches from a bounded search
+    # radius stay far below this cut.
+    trunc = 1e4 * chi2_th
+
     def robust_cost(T, use_huber):
-        """Huber-robustified total cost (the quantity LM must decrease)."""
+        """Truncated-Huber total cost (the quantity LM must decrease)."""
         chi2 = chi2_per_obs(cam, T, obs)
         if use_huber:
-            # Huber ρ(χ²): quadratic inside δ, linear outside
             c = jnp.where(
                 chi2 <= chi2_th, chi2, 2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 1e-12)) - chi2_th
             )
+            c_cap = 2.0 * jnp.sqrt(chi2_th * trunc) - chi2_th
         else:
             c = chi2
+            c_cap = trunc
+        c = jnp.minimum(c, c_cap)
         return jnp.sum(jnp.where(inlier, c, 0.0))
 
     Tcw = Tcw0
@@ -130,6 +140,7 @@ def optimize_pose(
             dm = _residual_dim_mask(obs)
             chi2 = jnp.sum(r * r * dm, axis=-1) * obs.inv_sigma2
             w = obs.inv_sigma2 * inlier.astype(jnp.float32)
+            w = jnp.where(chi2 < trunc, w, 0.0)  # redescending: monsters drop out
             if use_huber:
                 w = w * huber_weight(chi2, chi2_th)
             wm = w[:, None] * dm  # [M, 3]

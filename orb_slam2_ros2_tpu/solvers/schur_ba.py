@@ -188,12 +188,19 @@ def solve_ba(
     Tcw, pts = prob.cam_Tcw, prob.pt_pos
     gate = prob.edge_valid
 
+    # truncated Huber: beyond 1e4×χ²th the loss is constant (zero influence) —
+    # a single degenerate edge otherwise out-pulls every good observation
+    # through Huber's linear tail (see solvers.pose_opt for the full story)
+    trunc = 1e4 * chi2_th
+    rho_cap = 2.0 * jnp.sqrt(chi2_th * trunc) - chi2_th
+
     def robust_cost(Tcw_, pts_, gate_):
         chi2 = _chi2(cam, prob, Tcw_, pts_)
         rho = jnp.where(
             chi2 <= chi2_th, chi2,
             2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 1e-12)) - chi2_th,
         )
+        rho = jnp.minimum(rho, rho_cap)
         return jnp.sum(jnp.where(gate_, rho, 0.0))
 
     for n_iters in phase_iters:
@@ -205,6 +212,7 @@ def solve_ba(
             Tcw, pts, lam_c, cost = carry
             chi2 = _chi2(cam, prob, Tcw, pts)
             w = gate.astype(jnp.float32) * prob.inv_sigma2 * huber_weight(chi2, chi2_th)
+            w = jnp.where(chi2 < trunc, w, 0.0)
             Tcw_new, pts_new = _solve_iteration(cam, prob, Tcw, pts, w, lam_c)
             cost_new = robust_cost(Tcw_new, pts_new, gate)
             accept = cost_new < cost
