@@ -20,7 +20,8 @@ import numpy as np
 from ..config import SLAMConfig
 from ..geometry import camera as cam_mod
 from ..ops import brief, fast, stereo
-from ..ops.canvas import build_canvas, canvas_layout, extract_patches
+from ..ops.canvas import build_canvas, canvas_layout, padded_canvas_shape
+from ..ops.pallas_patches import extract_patches_48x64
 from ..ops.pyramid import build_pyramid
 from .frame import FrameFeatures, StereoFrame
 
@@ -54,8 +55,9 @@ def extract_features(
 ) -> Tuple[FrameFeatures, jnp.ndarray]:
     """One image → (FrameFeatures, raw pyramid canvas)."""
     levels = build_pyramid(img, n_levels, scale_factor)
-    row_off_np, total_rows, _ = canvas_layout(h, w, n_levels, scale_factor)
-    canvas_raw = build_canvas(levels, w, total_rows)
+    row_off_np, _, _ = canvas_layout(h, w, n_levels, scale_factor)
+    rows_p, cols_p = padded_canvas_shape(h, w, n_levels, scale_factor)
+    canvas_raw = build_canvas(levels, cols_p, rows_p)
     row_off = jnp.asarray(row_off_np)
 
     uts, resps, valids, octs = [], [], [], []
@@ -75,9 +77,9 @@ def extract_features(
     valid = jnp.concatenate(valids)
     octave = jnp.concatenate(octs)
 
-    # ONE 45×45 patch gather serves orientation, blurring and BRIEF sampling
+    # ONE 48×64 patch DMA serves orientation, blurring and BRIEF sampling
     centers = stereo.canvas_centers(uv_raw, octave, scale_factor, row_off)
-    patches = extract_patches(canvas_raw, centers, brief.PATCH_HALF)
+    patches = extract_patches_48x64(canvas_raw, centers)
     angles_rad = brief.orientations(patches)
     patches_blur = brief.blur_patches(patches)
     desc = brief.describe(patches_blur, angles_rad)

@@ -28,9 +28,13 @@ import numpy as np
 
 N_PAIRS = 256
 N_ANGLE_BINS = 32
-PATCH_HALF = 22          # extracted patch half-extent: rotated template reach
-                         # (<19) plus the 3-px blur apron, one gather serves
-                         # orientation, blurring and sampling
+# Patch geometry is the lane-friendly 48×64 window of ops.pallas_patches:
+# centre at (22, 22) covers the rotated template reach (<19) plus the 3-px
+# blur apron; one DMA per keypoint serves orientation, blurring and sampling.
+from .pallas_patches import CENTER as PATCH_CENTER  # noqa: E402
+from .pallas_patches import PATCH_COLS, PATCH_ROWS  # noqa: E402
+
+PATCH_HALF = PATCH_CENTER  # keypoint border requirement (rows above/left)
 TEMPLATE_CLIP = 13       # max |coordinate| of a template point pre-rotation
 ORIENT_RADIUS = 15       # grey-centroid circular patch radius (ORBExtractor.cc:518)
 BLUR_PAD = 3             # 7-tap Gaussian apron
@@ -46,15 +50,14 @@ def brief_template(seed: int = 17) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def rotated_offset_lut(seed: int = 17) -> np.ndarray:
-    """[N_ANGLE_BINS, 512] int32 flat patch indices into a (2·19+1)² patch.
+    """[N_ANGLE_BINS, 512] int32 flat indices into a 48×64 patch.
 
     Row b holds the template rotated by θ_b = 2πb/N_ANGLE_BINS: first the 256
-    first-points, then the 256 second-points, each as y*patchW + x relative to
-    the patch corner (reference rotates per-keypoint with floats,
+    first-points, then the 256 second-points, each as y*PATCH_COLS + x
+    relative to the patch corner (reference rotates per-keypoint with floats,
     ORBExtractor.cc:427-456; here rotation is a compile-time table).
     """
     tpl = brief_template(seed).astype(np.float64)
-    size = 2 * PATCH_HALF + 1
     out = np.zeros((N_ANGLE_BINS, 2 * N_PAIRS), np.int32)
     for b in range(N_ANGLE_BINS):
         th = 2.0 * np.pi * b / N_ANGLE_BINS
@@ -63,15 +66,17 @@ def rotated_offset_lut(seed: int = 17) -> np.ndarray:
             x, y = half[:, 0], half[:, 1]
             xr = np.round(c * x - s * y).astype(np.int32)
             yr = np.round(s * x + c * y).astype(np.int32)
-            out[b, sl] = (yr + PATCH_HALF) * size + (xr + PATCH_HALF)
+            out[b, sl] = (yr + PATCH_CENTER) * PATCH_COLS + (xr + PATCH_CENTER)
     return out
 
 
 @lru_cache(maxsize=None)
 def _moment_weights():
-    """Circular-mask coordinate weights for the grey-centroid, [(2R+1)²] each."""
-    size = 2 * PATCH_HALF + 1
-    ys, xs = np.mgrid[-PATCH_HALF : PATCH_HALF + 1, -PATCH_HALF : PATCH_HALF + 1]
+    """Circular-mask coordinate weights for the grey-centroid over the
+    48×64 patch (centre at (22, 22)), flattened."""
+    ys, xs = np.mgrid[0:PATCH_ROWS, 0:PATCH_COLS]
+    ys = ys - PATCH_CENTER
+    xs = xs - PATCH_CENTER
     mask = (xs * xs + ys * ys) <= ORIENT_RADIUS * ORIENT_RADIUS
     wx = (xs * mask).astype(np.float32).reshape(-1)
     wy = (ys * mask).astype(np.float32).reshape(-1)
@@ -117,8 +122,7 @@ def _pair_difference_matrix(seed: int = 17):
     sampling pattern as one sparse-in-content dense matrix."""
     import numpy as _np
 
-    size = 2 * PATCH_HALF + 1
-    P = size * size
+    P = PATCH_ROWS * PATCH_COLS
     lut = rotated_offset_lut(seed)
     D = _np.zeros((P, N_ANGLE_BINS * N_PAIRS), _np.float32)
     for b in range(N_ANGLE_BINS):

@@ -31,6 +31,17 @@ def canvas_layout(h: int, w: int, n_levels: int, scale_factor: float):
     return np.array(offsets, np.int32), acc, shapes
 
 
+def padded_canvas_shape(h: int, w: int, n_levels: int, scale_factor: float):
+    """Canvas dims padded so the patch DMA's aligned [56, 192] superset
+    window never clamps for any legal keypoint: x = u−22 ≤ w−46 needs
+    cols ≥ w+210 for the [56, 256] aligned window; y ≤ total−23 needs
+    rows ≥ total+33."""
+    _, total_rows, _ = canvas_layout(h, w, n_levels, scale_factor)
+    cols = ((w + 210) + 127) // 128 * 128
+    rows = total_rows + 40
+    return rows, cols
+
+
 def build_canvas(levels: Sequence[jnp.ndarray], width: int, total_rows: int) -> jnp.ndarray:
     """Stack per-level images [Hl, Wl] into a [total_rows, width] canvas.
 

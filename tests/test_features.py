@@ -96,7 +96,7 @@ class TestHamming:
 class TestBRIEF:
     def test_descriptor_determinism_and_locality(self):
         r = np.random.default_rng(4)
-        patches = jnp.asarray(r.uniform(0, 255, (4, 45, 45)).astype(np.float32))
+        patches = jnp.asarray(r.uniform(0, 255, (4, 48, 64)).astype(np.float32))
         angles = jnp.zeros((4,))
         d1 = brief.describe(patches, angles)
         d2 = brief.describe(patches, angles)
@@ -110,15 +110,15 @@ class TestBRIEF:
         """Rotating patch + matching angle bin ≈ same descriptor (approximate
         rotation invariance of oriented BRIEF)."""
         r = np.random.default_rng(5)
-        base = r.uniform(0, 255, (80, 80)).astype(np.float32)
+        base = r.uniform(0, 255, (112, 112)).astype(np.float32)
         # smooth it to make rotation resampling mild
         from scipy.ndimage import gaussian_filter, rotate
 
         base = gaussian_filter(base, 2.0)
-        patch0 = base[40 - 22 : 40 + 23, 40 - 22 : 40 + 23]
+        patch0 = base[56 - 22 : 56 + 26, 56 - 22 : 56 + 42]
         ang = 90.0
         rot = rotate(base, -ang, reshape=False, order=1)
-        patch1 = rot[40 - 22 : 40 + 23, 40 - 22 : 40 + 23]
+        patch1 = rot[56 - 22 : 56 + 26, 56 - 22 : 56 + 42]
         d0 = brief.describe(jnp.asarray(patch0[None]), jnp.asarray([0.0]))
         d1_rot = brief.describe(jnp.asarray(patch1[None]), jnp.asarray([np.deg2rad(ang)]))
         d1_norot = brief.describe(jnp.asarray(patch1[None]), jnp.asarray([0.0]))
