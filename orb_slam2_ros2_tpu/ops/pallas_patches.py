@@ -3,8 +3,8 @@
 The XLA formulation (vmapped dynamic_slice) lowers to a gather of thousands
 of misaligned 45-element row segments — ~2 ms/image on v5e.  This kernel
 instead issues one strided DMA per keypoint from the HBM-resident pyramid
-canvas into a VMEM output block, double-buffered across a small keypoint
-block per program.  Patch geometry is padded to a lane-friendly
+canvas into VMEM scratch (all of a program's BLOCK copies are in flight
+together), then recentres with one-hot shift matmuls.  Patch geometry is padded to a lane-friendly
 ``48 × 64`` window (the extra rows/columns hold real neighbouring canvas
 pixels, which downstream sampling never touches: the BRIEF template reach is
 <19 px from the centre at (22, 22)).
@@ -15,7 +15,6 @@ the clamping convention of ``dynamic_slice``.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +30,7 @@ BLOCK = 8            # keypoints per pallas program
 # aligned DMA window: row starts must be sublane-tile (8) aligned, column
 # starts lane-tile (128) aligned, and the slice WIDTH itself a 128-multiple,
 # so we fetch a [56, 256] superset from the snapped origin and recentre in
-# VMEM (row rotate + one-hot column-shift matmul)
+# VMEM with one-hot shift matmuls
 _WIN_ROWS = PATCH_ROWS + 8
 _WIN_COLS = PATCH_COLS + 192  # DMA slice width must be a 128-multiple: 256
 
