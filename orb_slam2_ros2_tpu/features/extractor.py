@@ -3,9 +3,10 @@
 Replaces the reference's ``ORBExtractor::extract`` + two extractor threads +
 ``ORBMatcher::searchByStereo`` per frame (reference: src/ORBExtractor.cc:
 499-508, src/Frame.cc:85-111) with ONE jitted program per stereo pair:
-both images' pyramids, corner maps, descriptors and the stereo match all run
-batched on-device; the host only hands in two images and receives a padded
-``StereoFrame`` pytree.
+both images run through the SAME batched ops ([B, H, W] pyramids, FAST maps,
+one shared patch-DMA call over a stacked canvas), and the stereo matcher
+reuses the extracted keypoint patches for SAD refinement — no second gather
+pass over the pyramid.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import numpy as np
 from ..config import SLAMConfig
 from ..geometry import camera as cam_mod
 from ..ops import brief, fast, stereo
-from ..ops.canvas import build_canvas, canvas_layout, padded_canvas_shape
+from ..ops.canvas import canvas_layout, padded_canvas_shape
 from ..ops.pallas_patches import extract_patches_48x64
 from ..ops.pyramid import build_pyramid
 from .frame import FrameFeatures, StereoFrame
@@ -38,8 +39,8 @@ def level_capacities(max_kp: int, n_levels: int, scale_factor: float) -> List[in
     return caps
 
 
-def extract_features(
-    img: jnp.ndarray,
+def extract_features_batch(
+    imgs: jnp.ndarray,
     cam: cam_mod.CameraParams,
     *,
     h: int,
@@ -53,38 +54,64 @@ def extract_features(
     cell: int,
     undistort: bool,
 ) -> Tuple[FrameFeatures, jnp.ndarray]:
-    """One image → (FrameFeatures, raw pyramid canvas)."""
-    levels = build_pyramid(img, n_levels, scale_factor)
+    """[B, H, W] images → (FrameFeatures with [B, N] leading dims,
+    patches f32[B, N, 48, 64]).
+
+    Every stage is batched over B: the pyramid resizes are shared matmuls,
+    FAST scores compute on [B, Hl, Wl] stacks, and ONE patch-DMA kernel call
+    serves all B·N keypoints from a row-stacked canvas.
+    """
+    B = imgs.shape[0]
+    levels = build_pyramid(imgs, n_levels, scale_factor)  # tuple of [B, Hl, Wl]
     row_off_np, _, _ = canvas_layout(h, w, n_levels, scale_factor)
     rows_p, cols_p = padded_canvas_shape(h, w, n_levels, scale_factor)
-    canvas_raw = build_canvas(levels, cols_p, rows_p)
     row_off = jnp.asarray(row_off_np)
 
+    # one tall canvas holding every image's pyramid (image b at row b·rows_p)
+    canvas = jnp.zeros((B * rows_p, cols_p), levels[0].dtype)
+    for b in range(B):
+        off = b * rows_p
+        for l in range(n_levels):
+            canvas = jax.lax.dynamic_update_slice(
+                canvas, levels[l][b], (off + int(row_off_np[l]), 0)
+            )
+
+    select = jax.vmap(
+        partial(
+            fast.select_keypoints,
+            border=border, cell=cell, topk_per_cell=4, strong_threshold=ini_th,
+        ),
+        in_axes=(0, None),
+    )
     uts, resps, valids, octs = [], [], [], []
     for l in range(n_levels):
-        score = fast.nms3(fast.fast_score(levels[l], min_th))
-        uv_l, resp_l, valid_l = fast.select_keypoints(
-            score, caps[l], border=border, cell=cell, topk_per_cell=4, strong_threshold=ini_th
-        )
+        score = fast.nms3(fast.fast_score(levels[l], min_th))      # [B, Hl, Wl]
+        uv_l, resp_l, valid_l = select(score, caps[l])             # [B, cap, ...]
         s = scale_factor**l
         uts.append(uv_l * s)  # to level-0 coords
         resps.append(resp_l)
         valids.append(valid_l)
-        octs.append(jnp.full((caps[l],), l, jnp.int32))
+        octs.append(jnp.full((B, caps[l]), l, jnp.int32))
 
-    uv_raw = jnp.concatenate(uts)
-    response = jnp.concatenate(resps)
-    valid = jnp.concatenate(valids)
-    octave = jnp.concatenate(octs)
+    uv_raw = jnp.concatenate(uts, axis=1)        # [B, N, 2]
+    response = jnp.concatenate(resps, axis=1)
+    valid = jnp.concatenate(valids, axis=1)
+    octave = jnp.concatenate(octs, axis=1)
+    N = uv_raw.shape[1]
 
     # ONE 48×64 patch DMA serves orientation, blurring and BRIEF sampling
     centers = stereo.canvas_centers(uv_raw, octave, scale_factor, row_off)
-    patches = extract_patches_48x64(canvas_raw, centers)
+    centers = centers + (jnp.arange(B, dtype=jnp.int32)[:, None, None]
+                         * jnp.asarray([rows_p, 0], jnp.int32)[None, None, :])
+    patches = extract_patches_48x64(canvas, centers.reshape(B * N, 2))
     angles_rad = brief.orientations(patches)
     patches_blur = brief.blur_patches(patches)
-    desc = brief.describe(patches_blur, angles_rad)
+    desc = brief.describe(patches_blur, angles_rad).reshape(B, N, 8)
+    patches = patches.reshape(B, N, *patches.shape[1:])
+    angles_rad = angles_rad.reshape(B, N)
 
-    uv = cam_mod.undistort_points(cam, uv_raw) if undistort else uv_raw
+    flat_uv = uv_raw.reshape(B * N, 2)
+    uv = cam_mod.undistort_points(cam, flat_uv).reshape(B, N, 2) if undistort else uv_raw
     feats = FrameFeatures(
         uv=uv,
         uv_raw=uv_raw,
@@ -94,11 +121,25 @@ def extract_features(
         desc=desc,
         valid=valid,
     )
-    return feats, canvas_raw
+    return feats, patches
+
+
+def _slice_frame(feats: FrameFeatures, b: int) -> FrameFeatures:
+    return jax.tree_util.tree_map(lambda a: a[b], feats)
+
+
+def extract_features(
+    img: jnp.ndarray,
+    cam: cam_mod.CameraParams,
+    **kw,
+) -> Tuple[FrameFeatures, jnp.ndarray]:
+    """One image → (FrameFeatures, patches f32[N, 48, 64])."""
+    feats, patches = extract_features_batch(img[None], cam, **kw)
+    return _slice_frame(feats, 0), patches[0]
 
 
 def make_extractor(cfg: SLAMConfig):
-    """Jitted single-image extractor: img[H, W] f32, cam → features+canvases."""
+    """Jitted single-image extractor: img[H, W] f32, cam → features+patches."""
     o, c = cfg.orb, cfg.camera
     caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
     fn = partial(
@@ -114,26 +155,24 @@ def make_stereo_frontend(cfg: SLAMConfig):
     """Jitted stereo frontend: (imgL, imgR, cam) → StereoFrame.
 
     The reference runs two extractor threads then searchByStereo
-    (Frame.cc:100-111); here both extractions and the match are one fused
-    XLA program.
+    (Frame.cc:100-111); here both extractions are one batched XLA program and
+    the SAD refinement reads the already-extracted keypoint patches.
     """
     o, c, m = cfg.orb, cfg.camera, cfg.matcher
     caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
-    row_off_np, _, _ = canvas_layout(c.height, c.width, o.n_levels, o.scale_factor)
 
     def frontend(img_l: jnp.ndarray, img_r: jnp.ndarray, cam: cam_mod.CameraParams) -> StereoFrame:
-        ex = partial(
-            extract_features,
-            cam=cam,
+        feats, patches = extract_features_batch(
+            jnp.stack([img_l, img_r]), cam,
             h=c.height, w=c.width, n_levels=o.n_levels, scale_factor=o.scale_factor,
             caps=caps, border=o.edge_border, min_th=float(o.min_th_fast),
             ini_th=float(o.ini_th_fast), cell=o.cell_size, undistort=c.has_distortion,
         )
-        featL, canL = ex(img_l)
-        featR, canR = ex(img_r)
+        featL, featR = _slice_frame(feats, 0), _slice_frame(feats, 1)
         right_u, depth = stereo.stereo_match(
-            featL, featR, canL, canR, jnp.asarray(row_off_np),
-            scale_factor=o.scale_factor, fx=c.fx, bf=c.bf, image_width=c.width,
+            featL, featR, patches[0], patches[1],
+            fx=c.fx, bf=c.bf, image_width=c.width,
+            scale_factor=o.scale_factor,
             mean_threshold=m.mean_threshold, sad_half=m.sad_half_window,
             search_half=m.sad_search_half,
         )

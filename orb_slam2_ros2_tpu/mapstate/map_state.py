@@ -131,17 +131,20 @@ def _append_observations(state: MapState, kf_id, mp_ids: jnp.ndarray, feat_ids: 
     dropped (the covisibility matrix still counts them).
     """
     O = state.mp_obs_kf.shape[1]
-    m = jnp.where(mask, mp_ids, state.mp_capacity)  # invalid → scratch row
-    slot = jnp.clip(state.mp_n_obs[jnp.clip(m, 0, state.mp_capacity - 1)], 0, O - 1)
-    # guard the scratch row by clamping ids; writes to masked rows go to a
-    # dummy position via mode="drop"
+    raw_slot = state.mp_n_obs[jnp.clip(mp_ids, 0, state.mp_capacity - 1)]
+    # a full fan-out list (slot ≥ O) really drops the new observation — never
+    # overwrite the last entry, and never count past O (culling/fuse read
+    # mp_n_obs as a true list length)
+    ok = mask & (raw_slot < O)
+    m = jnp.where(ok, mp_ids, state.mp_capacity)  # invalid/full → scratch row
+    slot = jnp.clip(raw_slot, 0, O - 1)
     obs_kf = state.mp_obs_kf.at[m, slot].set(
-        jnp.where(mask, kf_id, -1), mode="drop"
+        jnp.where(ok, kf_id, -1), mode="drop"
     )
     obs_feat = state.mp_obs_feat.at[m, slot].set(
-        jnp.where(mask, feat_ids, -1), mode="drop"
+        jnp.where(ok, feat_ids, -1), mode="drop"
     )
-    n_obs = state.mp_n_obs.at[m].add(jnp.where(mask, 1, 0), mode="drop")
+    n_obs = state.mp_n_obs.at[m].add(jnp.where(ok, 1, 0), mode="drop")
     return state._replace(mp_obs_kf=obs_kf, mp_obs_feat=obs_feat, mp_n_obs=n_obs)
 
 

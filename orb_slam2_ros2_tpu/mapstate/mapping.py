@@ -111,6 +111,12 @@ def triangulate_new_points(
         cols = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1)
         second = jnp.min(jnp.where(cols == bj[:, None], 1 << 20, masked), axis=1)
         m_ok = (best <= max_dist) & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+        # per-column uniqueness: without it several new-KF features can claim
+        # the same neighbour feature in one round, allocating duplicate map
+        # points whose neighbour-side slot writes collide (last-write-wins)
+        # and leave dangling observation backlinks
+        best_i = jnp.argmin(masked, axis=0)
+        m_ok = m_ok & (best_i[bj] == jnp.arange(N))
         m_ok = m_ok & ok_nb & base_ok
 
         # --- parallax choice & triangulation ------------------------------
@@ -200,16 +206,21 @@ def triangulate_new_points(
     return st._replace(covis=covis)
 
 
-def cull_mappoints(state: MapState, current_kf) -> MapState:
+def cull_mappoints(
+    state: MapState, current_kf, *, cull_score: float = 0.25, settle_kfs: int = 3
+) -> MapState:
     """Remove low-quality map points (reference cullingMapPoints,
-    LocalMapping.cc:674-714): found/visible < 0.25, or still <2 observations
-    2 keyframes after creation.  Culled slots are invalidated and their
-    keyframe feature slots cleared."""
+    LocalMapping.cc:674-714): found/visible < ``cull_score``, or still <2
+    observations 2 keyframes after creation.  Both tests apply only to
+    RECENTLY created points (the reference's mlpRecentAddedMapPoints window —
+    points settle after ``settle_kfs`` keyframes and are then never ratio-
+    culled, so mature landmarks that leave view survive).  Culled slots are
+    invalidated and their keyframe feature slots cleared."""
     score = state.mp_found.astype(jnp.float32) / jnp.maximum(state.mp_visible.astype(jnp.float32), 1.0)
-    young = state.mp_first_kf >= 0
-    bad_score = score < 0.25
+    recent = (state.mp_first_kf >= 0) & (current_kf <= state.mp_first_kf + settle_kfs)
+    bad_score = score < cull_score
     bad_obs = (current_kf >= state.mp_first_kf + 2) & (state.mp_n_obs < 2)
-    cull = state.mp_valid & young & (bad_score | bad_obs)
+    cull = state.mp_valid & recent & (bad_score | bad_obs)
 
     # clear kf_mp_idx entries of culled points via their observation lists
     obs_kf = jnp.where(cull[:, None], state.mp_obs_kf, -1)

@@ -43,15 +43,16 @@ ARC_LEN = 9  # FAST-9: 9 contiguous circle pixels (cv::FastFeatureDetector::TYPE
 
 
 def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """Exact FAST-9/16 corner response for every pixel of [H, W] f32.
+    """Exact FAST-9/16 corner response for every pixel of [..., H, W] f32
+    (leading dims batch — a stereo pair scores in the same ops).
 
     Returns a score map: 0 where not a corner at ``threshold``, else the
     maximum over qualifying 9-arcs of the minimum absolute circle difference
     (so score > t ⟺ pixel is a FAST corner at threshold t).
     """
     d = jnp.stack(
-        [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dy, dx in CIRCLE_OFFSETS]
-    ) - img[None]  # [16, H, W]
+        [jnp.roll(img, (-int(dy), -int(dx)), axis=(-2, -1)) for dy, dx in CIRCLE_OFFSETS]
+    ) - img[None]  # [16, ..., H, W]
 
     def arc_min(v: jnp.ndarray) -> jnp.ndarray:
         """min over 9 consecutive ring entries (circular), log-depth doubling."""
@@ -69,9 +70,13 @@ def fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
 
 
 def nms3(score: jnp.ndarray) -> jnp.ndarray:
-    """3×3 non-max suppression: keep pixels equal to their neighbourhood max."""
+    """3×3 non-max suppression over the trailing two axes: keep pixels equal
+    to their neighbourhood max.  Leading dims batch."""
+    nb = score.ndim - 2
+    window = (1,) * nb + (3, 3)
+    strides = (1,) * nb + (1, 1)
     pooled = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        score, -jnp.inf, jax.lax.max, window, strides, "SAME"
     )
     return jnp.where(score >= pooled, score, 0.0)
 

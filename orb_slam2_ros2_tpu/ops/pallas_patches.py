@@ -79,9 +79,22 @@ def _kernel(centers_ref, canvas_ref, out_ref, scratch, sems):
         out_ref[b] = jnp.dot(rows, scol, preferred_element_type=jnp.float32)
 
 
+# scalar-prefetched centres live in SMEM, which caps at 1 MB per kernel and
+# is nearly exhausted by program bookkeeping — ≤2048 int16 pairs (8 KB) fit,
+# a stereo pair's 4096 do not; larger batches chunk into multiple calls
+_MAX_CENTERS_PER_CALL = 2048
+
+
 def extract_patches_pallas(canvas: jnp.ndarray, centers_yx: jnp.ndarray) -> jnp.ndarray:
     """[H, W] canvas + i32[N, 2] centres → f32[N, 48, 64] patches."""
     n = centers_yx.shape[0]
+    if n > _MAX_CENTERS_PER_CALL:
+        assert n % _MAX_CENTERS_PER_CALL == 0
+        chunks = [
+            extract_patches_pallas(canvas, centers_yx[i : i + _MAX_CENTERS_PER_CALL])
+            for i in range(0, n, _MAX_CENTERS_PER_CALL)
+        ]
+        return jnp.concatenate(chunks, axis=0)
     assert n % BLOCK == 0, "keypoint capacity must be a multiple of BLOCK"
     centers_yx = centers_yx.astype(jnp.int16)
     grid_spec = pltpu.PrefetchScalarGridSpec(

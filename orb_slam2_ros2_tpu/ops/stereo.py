@@ -60,9 +60,8 @@ def canvas_centers(
 def stereo_match(
     featL,
     featR,
-    canvasL: jnp.ndarray,
-    canvasR: jnp.ndarray,
-    row_offsets: jnp.ndarray,
+    patchesL: jnp.ndarray,
+    patchesR: jnp.ndarray,
     *,
     scale_factor: float,
     fx: float,
@@ -72,7 +71,13 @@ def stereo_match(
     sad_half: int = 5,
     search_half: int = 5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Match left→right keypoints, return (right_u [N], depth [N]); −1 = none."""
+    """Match left→right keypoints, return (right_u [N], depth [N]); −1 = none.
+
+    ``patchesL/R`` are the f32[N, 48, 64] keypoint patches the extractor
+    already DMA'd for BRIEF (centred at PATCH_CENTER on each keypoint's own
+    pyramid level) — the SAD windows are static sub-slices of them, so the
+    refinement costs no extra image gathers at all.
+    """
     uvL, uvR = featL.uv, featR.uv
     n = uvL.shape[0]
 
@@ -111,15 +116,19 @@ def stereo_match(
     )
 
     # ---- SAD refinement on each keypoint's own pyramid level -----------------
-    cL = canvas_centers(featL.uv_raw, featL.octave, scale_factor, row_offsets)
+    from .pallas_patches import CENTER as PC
+
     uvR_best = featR.uv_raw[best_j]
-    cR = canvas_centers(uvR_best, oct_r, scale_factor, row_offsets)
 
     w = sad_half
-    # upcast SAD inputs: sub-pixel parabola fitting needs f32 sums even when
-    # the pyramid canvas itself is bf16
-    patchL = extract_rect(canvasL, cL, w, w).astype(jnp.float32)   # [N, 11, 11]
-    strip = extract_rect(canvasR, cR, w, w + search_half).astype(jnp.float32)
+    # static sub-windows of the keypoint patches (patch centre = keypoint);
+    # patches are f32 upcasts of the bf16 canvas, which the sub-pixel
+    # parabola needs anyway
+    patchL = patchesL[:, PC - w : PC + w + 1, PC - w : PC + w + 1]
+    strip_all = patchesR[
+        :, PC - w : PC + w + 1, PC - w - search_half : PC + w + search_half + 1
+    ]
+    strip = strip_all[best_j]                                      # [N, 11, 21]
     patchL = patchL - patchL[:, w, w][:, None, None]
 
     n_shifts = 2 * search_half + 1

@@ -252,16 +252,24 @@ def correct_loop(
     state = state._replace(kf_Tcw=kf_Tcw_new, mp_pos=mp_pos_new)
 
     # --- record the loop edge ---------------------------------------------
-    slot = jnp.argmax(state.loop_edges[:, 0] < 0)
-    loop_edges = state.loop_edges.at[slot].set(jnp.asarray([kf_cur, kf_cand]))
+    free_slots = state.loop_edges[:, 0] < 0
+    # guard full list: when no slot is free, drop the edge instead of
+    # overwriting slot 0 (argmax of all-False is 0)
+    slot = jnp.where(jnp.any(free_slots), jnp.argmax(free_slots), state.loop_edges.shape[0])
+    loop_edges = state.loop_edges.at[slot].set(jnp.asarray([kf_cur, kf_cand]), mode="drop")
     state = state._replace(loop_edges=loop_edges)
 
     # --- essential graph ---------------------------------------------------
+    # Edge measurements MUST come from the PRE-correction poses (`S_all`,
+    # captured above before kf_Tcw_new was applied) — the reference's
+    # NonCorrectedSim3 (Optimizer.cc OptimizeEssentialGraph).  Vertices start
+    # at the corrected poses; measuring from the corrected poses instead
+    # would make every residual identically zero and the optimization a no-op.
     S_now = sim3.from_se3(state.kf_Tcw)
     ei, ej, ew = collect_essential_edges(
         state, essential_weight, max_edges
     )
-    S_meas = make_relative_measurements(S_now, jnp.maximum(ei, 0), jnp.maximum(ej, 0))
+    S_meas = make_relative_measurements(S_all, jnp.maximum(ei, 0), jnp.maximum(ej, 0))
     # the loop edge gets its measured constraint S12: S_cur←cand
     # appended at a reserved slot (last): e = (cand → cur) with S12 relative
     ei = ei.at[-1].set(kf_cand)

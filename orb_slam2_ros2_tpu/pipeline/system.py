@@ -247,7 +247,9 @@ class SLAM:
             ),
             donate_argnums=(0,),
         )
-        self._cull = jax.jit(cull_mappoints, donate_argnums=(0,))
+        self._cull = jax.jit(
+            partial(cull_mappoints, cull_score=mp.mp_cull_score), donate_argnums=(0,)
+        )
         self._cull_kfs = jax.jit(
             partial(cull_keyframes, redundancy=mp.kf_cull_ratio), donate_argnums=(0,)
         )
@@ -266,7 +268,7 @@ class SLAM:
                 max_free=b.max_local_ba_kfs, max_fixed=b.max_local_ba_fixed,
                 max_points=b.local_ba_points,
                 chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
-                lam=b.lm_lambda_init,
+                lam=b.lm_lambda_init, scale_factor=o.scale_factor,
             ),
             donate_argnums=(0,),
         )

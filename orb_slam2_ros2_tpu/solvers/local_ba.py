@@ -4,8 +4,14 @@ Replaces Optimizer::OptimizeLocalMap (reference src/Optimizer.cc:225-442):
 free vertices = the new KF's 1-ring covisible keyframes, marginalized
 landmarks = their map points, fixed anchors = 2nd-ring keyframes that also
 observe those points (and always keyframe 0, the gauge anchor,
-Optimizer.cc:246-249).  The window is extracted into the dense-grid
-``BAProblem`` layout and solved by the Schur engine (solvers.schur_ba).
+Optimizer.cc:246-249).
+
+The window is extracted into the PER-POINT edge layout (``pcg_ba.
+PointBAProblem``: each selected landmark carries its ≤O observations with
+camera slots remapped into the window) and solved by the dense-Schur
+per-point engine (``schur_ba.solve_ba_points``) — the round-1 cam-major grid
+layout needed a [N, P] one-hot per camera to segment-sum landmark blocks,
+which cost seconds per keyframe at the production window size.
 """
 
 from __future__ import annotations
@@ -17,23 +23,28 @@ import jax.numpy as jnp
 
 from ..geometry.camera import CameraParams
 from ..mapstate.map_state import MapState
-from .schur_ba import BAProblem, solve_ba
+from .pcg_ba import PointBAProblem
+from .schur_ba import solve_ba_points
 
 
-def extract_window(
+def extract_window_points(
     state: MapState,
     kf_id,
     *,
     max_free: int,
     max_fixed: int,
     max_points: int,
-) -> Tuple[BAProblem, jnp.ndarray, jnp.ndarray]:
-    """Build the local BA problem around ``kf_id``.
+    scale_factor: float = 1.2,
+):
+    """Build the local BA problem around ``kf_id`` in per-point layout.
 
-    Returns (problem, cam_kf_ids [C], pt_mp_ids [P]) for writing results back.
+    Returns (problem, cam_ids [C], pt_ids [P], obs_kf [P, O], obs_feat [P, O])
+    — the global ids needed to write results (and outlier-edge removals)
+    back into the map.
     """
     K = state.kf_capacity
     M = state.mp_capacity
+    O = state.mp_obs_kf.shape[1]
     N = state.kf_uv.shape[1]
 
     # --- free cameras: top covisible neighbours + self --------------------
@@ -53,44 +64,55 @@ def extract_window(
     top, pt_ids = jax.lax.top_k(score, max_points)
     pt_ok = top > 0
     pt_ids = jnp.where(pt_ok, pt_ids, -1)
-    inv = jnp.full((M + 1,), -1, jnp.int32).at[jnp.where(pt_ok, pt_ids, M)].set(
-        jnp.arange(max_points, dtype=jnp.int32), mode="drop"
-    )[:M]
+    ptc = jnp.clip(pt_ids, 0, M - 1)
+
+    # --- observations of the selected points ------------------------------
+    obs_kf = jnp.where(pt_ok[:, None], state.mp_obs_kf[ptc], -1)     # [P, O]
+    obs_feat = state.mp_obs_feat[ptc]
+    kfc = jnp.clip(obs_kf, 0, K - 1)
+    ftc = jnp.clip(obs_feat, 0, N - 1)
+    obs_ok = (obs_kf >= 0) & state.kf_valid[kfc]
+    # observation must still point back at this map point (fuse/cull may have
+    # repointed the slot)
+    obs_ok = obs_ok & (state.kf_mp_idx[kfc, ftc] == ptc[:, None]) & pt_ok[:, None]
 
     # --- fixed cameras: observers of the landmarks outside the free set ---
-    obs_kf = state.mp_obs_kf[jnp.clip(pt_ids, 0, M - 1)]
-    obs_kf = jnp.where(pt_ok[:, None], obs_kf, -1)
-    fixed_mask = jnp.zeros((K,), bool).at[jnp.where(obs_kf >= 0, obs_kf, K).reshape(-1)].set(True, mode="drop")
+    fixed_mask = jnp.zeros((K,), bool).at[jnp.where(obs_ok, obs_kf, K).reshape(-1)].set(True, mode="drop")
     fixed_mask = fixed_mask & state.kf_valid & ~free_mask_k
     fscore = jnp.where(fixed_mask, 1 + jnp.arange(K, dtype=jnp.int32), 0)
     ftop, fixed_ids = jax.lax.top_k(fscore, max_fixed)
     fixed_ok = ftop > 0
     fixed_ids = jnp.where(fixed_ok, fixed_ids, -1)
 
-    cam_ids = jnp.concatenate([free_ids, fixed_ids])
+    cam_ids = jnp.concatenate([free_ids, fixed_ids])                 # [C]
     cam_ok = jnp.concatenate([free_ok, fixed_ok])
     # gauge: keyframe 0 is never free (Optimizer.cc:246-249)
     cam_free = jnp.concatenate([free_ok & (free_ids != 0), jnp.zeros_like(fixed_ok)])
+    C = cam_ids.shape[0]
 
-    cidc = jnp.clip(cam_ids, 0, K - 1)
-    pt_slot = inv[jnp.clip(state.kf_mp_idx[cidc], 0, M - 1)]
-    has_edge = (state.kf_mp_idx[cidc] >= 0) & (pt_slot >= 0) & cam_ok[:, None]
+    # global KF id → window cam slot (−1 = outside the window)
+    inv_cam = jnp.full((K + 1,), -1, jnp.int32).at[
+        jnp.where(cam_ok, cam_ids, K)
+    ].set(jnp.arange(C, dtype=jnp.int32), mode="drop")[:K]
+    obs_cam = jnp.where(obs_ok, inv_cam[kfc], -1)
+    obs_ok = obs_ok & (obs_cam >= 0)
 
     inv_sigma2 = jnp.power(
-        jnp.float32(1.0 / 1.44), state.kf_octave[cidc].astype(jnp.float32)
+        jnp.float32(1.0 / (scale_factor * scale_factor)),
+        state.kf_octave[kfc, ftc].astype(jnp.float32),
     )
-    prob = BAProblem(
-        cam_Tcw=state.kf_Tcw[cidc],
+    prob = PointBAProblem(
+        cam_Tcw=state.kf_Tcw[jnp.clip(cam_ids, 0, K - 1)],
         cam_free=cam_free,
-        pt_pos=state.mp_pos[jnp.clip(pt_ids, 0, M - 1)],
-        pt_valid=pt_ok,
-        pt_slot=jnp.where(has_edge, pt_slot, -1),
-        uv=state.kf_uv[cidc],
-        right_u=jnp.where(has_edge, state.kf_right_u[cidc], -1.0),
-        inv_sigma2=inv_sigma2,
-        edge_valid=has_edge,
+        pt_pos=state.mp_pos[ptc],
+        pt_valid=pt_ok & jnp.any(obs_ok, axis=1),
+        obs_cam=jnp.where(obs_ok, obs_cam, -1),
+        obs_uv=state.kf_uv[kfc, ftc],
+        obs_right_u=jnp.where(obs_ok, state.kf_right_u[kfc, ftc], -1.0),
+        obs_inv_sigma2=inv_sigma2,
+        obs_valid=obs_ok,
     )
-    return prob, cam_ids, pt_ids
+    return prob, cam_ids, pt_ids, obs_kf, obs_feat
 
 
 def local_ba(
@@ -109,12 +131,14 @@ def local_ba(
     # cost.  Plain damped GN (no acceptance) DOES need the full schedule.
     phase_iters: Tuple[int, int] = (3, 5),
     lam: float = 1e-3,
+    scale_factor: float = 1.2,
 ) -> MapState:
     """Run local BA and write optimized poses/points back into the map."""
-    prob, cam_ids, pt_ids = extract_window(
-        state, kf_id, max_free=max_free, max_fixed=max_fixed, max_points=max_points
+    prob, cam_ids, pt_ids, obs_kf, obs_feat = extract_window_points(
+        state, kf_id, max_free=max_free, max_fixed=max_fixed,
+        max_points=max_points, scale_factor=scale_factor,
     )
-    Tcw_opt, pts_opt, edge_inlier = solve_ba(
+    Tcw_opt, pts_opt, obs_inlier = solve_ba_points(
         cam, prob, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
         phase_iters=phase_iters, lam=lam,
     )
@@ -127,33 +151,28 @@ def local_ba(
     mp_pos = state.mp_pos.at[jnp.where(write_pt, pt_ids, M)].set(pts_opt, mode="drop")
 
     # remove decisively-bad observations (the reference deletes high-χ² edges
-    # after local BA, Optimizer.cc:391-430).  Two differences, both deliberate:
-    # the cut is 2× the χ² gate (edges merely above the gate at a bounded-
-    # iteration solution are often fine next window — removing them starves
-    # the map), and the reverse observation index is updated in the same pass
-    # so backlinks and n_obs stay consistent.
-    from .schur_ba import _chi2
+    # after local BA, Optimizer.cc:391-430).  The cut is 2× the χ² gate —
+    # edges merely above the gate at a bounded-iteration solution are often
+    # fine next window and removing them starves the map.  In the per-point
+    # layout the observation entry's [P, O] position is known exactly, so
+    # both the forward slot and the reverse-index entry clear in one pass.
+    from .pcg_ba import _chi2_point
 
-    chi2 = _chi2(cam, prob, Tcw_opt, pts_opt)
-    chi2_th_e = jnp.where(prob.right_u > 0, chi2_stereo, chi2_mono)
-    remove = prob.edge_valid & prob.cam_free[:, None] & (chi2 > 2.0 * chi2_th_e)
+    chi2 = _chi2_point(cam, prob, Tcw_opt, pts_opt)
+    chi2_th_e = jnp.where(prob.obs_right_u > 0, chi2_stereo, chi2_mono)
+    ci_c = jnp.clip(prob.obs_cam, 0, prob.cam_Tcw.shape[0] - 1)
+    remove = prob.obs_valid & prob.cam_free[ci_c] & (chi2 > 2.0 * chi2_th_e)
 
-    rows = jnp.broadcast_to(cam_ids[:, None], remove.shape)
-    cols = jnp.broadcast_to(jnp.arange(N)[None, :], remove.shape)
-    flat_r = jnp.where(remove, rows, K).reshape(-1)
-    flat_c = jnp.clip(cols, 0, N - 1).reshape(-1)
-    kf_mp_idx = state.kf_mp_idx.at[flat_r, flat_c].set(-1, mode="drop")
+    flat_kf = jnp.where(remove, obs_kf, K).reshape(-1)
+    flat_ft = jnp.clip(obs_feat, 0, N - 1).reshape(-1)
+    kf_mp_idx = state.kf_mp_idx.at[flat_kf, flat_ft].set(-1, mode="drop")
 
-    # reverse index: clear the (kf, feat) entry in the point's fan-out list
-    mp_global = pt_ids[jnp.clip(prob.pt_slot, 0, max_points - 1)]        # [C, N]
-    mp_safe = jnp.where(remove, jnp.clip(mp_global, 0, M - 1), M - 1)
-    obs_rows_kf = state.mp_obs_kf[mp_safe]                                # [C, N, O]
-    obs_rows_ft = state.mp_obs_feat[mp_safe]
-    hit = (obs_rows_kf == rows[..., None]) & (obs_rows_ft == cols[..., None]) & remove[..., None]
-    new_rows_kf = jnp.where(hit, -1, obs_rows_kf)
-    tgt = jnp.where(remove, mp_global, M).reshape(-1)
-    mp_obs_kf = state.mp_obs_kf.at[tgt].set(new_rows_kf.reshape(-1, state.mp_obs_kf.shape[1]), mode="drop")
-    dec = jnp.zeros((M + 1,), jnp.int32).at[tgt].add(1, mode="drop")[:M]
+    # reverse index: clear exactly the removed [P, O] entries
+    P, O = remove.shape
+    row = jnp.where(remove, jnp.clip(pt_ids, 0, M - 1)[:, None], M)
+    col = jnp.broadcast_to(jnp.arange(O)[None, :], (P, O))
+    mp_obs_kf = state.mp_obs_kf.at[row.reshape(-1), col.reshape(-1)].set(-1, mode="drop")
+    dec = jnp.zeros((M + 1,), jnp.int32).at[row.reshape(-1)].add(1, mode="drop")[:M]
     mp_n_obs = jnp.maximum(state.mp_n_obs - dec, 0)
 
     return state._replace(

@@ -112,32 +112,17 @@ def optimize_pose(
     # radius stay far below this cut.
     trunc = 1e4 * chi2_th
 
-    def robust_cost(T, use_huber):
-        """Truncated-Huber total cost (the quantity LM must decrease)."""
-        chi2 = chi2_per_obs(cam, T, obs)
-        if use_huber:
-            c = jnp.where(
-                chi2 <= chi2_th, chi2, 2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 1e-12)) - chi2_th
-            )
-            c_cap = 2.0 * jnp.sqrt(chi2_th * trunc) - chi2_th
-        else:
-            c = chi2
-            c_cap = trunc
-        c = jnp.minimum(c, c_cap)
-        return jnp.sum(jnp.where(inlier, c, 0.0))
+    from .linalg_small import cholesky_solve_spd
+
+    dm = _residual_dim_mask(obs)
 
     Tcw = Tcw0
     for rnd in range(rounds):
         use_huber = rnd < rounds - 2
 
-        def lm_step(_, carry):
-            """Levenberg-Marquardt with step acceptance: a GN step that fails
-            to reduce the robust cost is rejected and the damping raised —
-            pure GN diverges on ill-conditioned (rotation-dominant) geometry
-            even from centimetre-level initialization."""
-            T, lam, cost = carry
+        def terms(T):
+            """One combined pass: residuals + Jacobians → (cost, H, b)."""
             r, J = residuals_and_jac(cam, T, obs)
-            dm = _residual_dim_mask(obs)
             chi2 = jnp.sum(r * r * dm, axis=-1) * obs.inv_sigma2
             w = obs.inv_sigma2 * inlier.astype(jnp.float32)
             w = jnp.where(chi2 < trunc, w, 0.0)  # redescending: monsters drop out
@@ -146,22 +131,47 @@ def optimize_pose(
             wm = w[:, None] * dm  # [M, 3]
             H = jnp.einsum("mki,mk,mkj->ij", J, wm, J)
             b = jnp.einsum("mki,mk,mk->i", J, wm, r)
-            H = H + lam * (jnp.eye(6, dtype=H.dtype) + jnp.diag(jnp.diag(H)))
-            from .linalg_small import cholesky_solve_spd
+            if use_huber:
+                c = jnp.where(
+                    chi2 <= chi2_th, chi2,
+                    2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 1e-12)) - chi2_th,
+                )
+                c_cap = 2.0 * jnp.sqrt(chi2_th * trunc) - chi2_th
+            else:
+                c, c_cap = chi2, trunc
+            cost = jnp.sum(jnp.where(inlier, jnp.minimum(c, c_cap), 0.0))
+            return cost, H, b
 
-            dx = -cholesky_solve_spd(H, b)
+        def lm_step(_, carry):
+            """Levenberg-Marquardt with step acceptance: a GN step that fails
+            to reduce the robust cost is rejected and the damping raised —
+            pure GN diverges on ill-conditioned (rotation-dominant) geometry
+            even from centimetre-level initialization.
+
+            ONE residual+Jacobian pass per iteration: the candidate pose's
+            pass yields both its acceptance cost AND the next step's normal
+            equations; on reject the carried H, b of the incumbent are reused
+            with higher damping (pure-latency win — the per-iteration small
+            ops dominate this solver's runtime on TPU).
+            """
+            T, lam, cost, H, b = carry
+            Hd = H + lam * (jnp.eye(6, dtype=H.dtype) + jnp.diag(jnp.diag(H)))
+            dx = -cholesky_solve_spd(Hd, b)
             dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, 0.0)
             T_new = se3.exp(dx) @ T
-            cost_new = robust_cost(T_new, use_huber)
+            cost_new, H_new, b_new = terms(T_new)
             accept = cost_new < cost
-            T = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), T_new, T)
+            T = jnp.where(accept, T_new, T)
+            H = jnp.where(accept, H_new, H)
+            b = jnp.where(accept, b_new, b)
             cost = jnp.where(accept, cost_new, cost)
             lam = jnp.where(accept, lam * 0.5, lam * 8.0)
             lam = jnp.clip(lam, 1e-7, 1e4)
-            return T, lam, cost
+            return T, lam, cost, H, b
 
-        carry = (Tcw, jnp.asarray(damping, jnp.float32), robust_cost(Tcw, use_huber))
-        Tcw, _, _ = jax.lax.fori_loop(0, iters_per_round, lm_step, carry)
+        cost0, H0, b0 = terms(Tcw)
+        carry = (Tcw, jnp.asarray(damping, jnp.float32), cost0, H0, b0)
+        Tcw, _, _, _, _ = jax.lax.fori_loop(0, iters_per_round, lm_step, carry)
         chi2 = chi2_per_obs(cam, Tcw, obs)
         inlier = obs.valid & (chi2 < chi2_th)
 

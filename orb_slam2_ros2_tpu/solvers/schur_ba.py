@@ -173,6 +173,136 @@ def _chi2(cam, prob, Tcw, pts):
     return jnp.sum(r * r * dim, axis=-1) * prob.inv_sigma2
 
 
+# --------------------------------------------------------------------------
+# per-point layout: dense Schur without the [N, P] one-hot
+# --------------------------------------------------------------------------
+
+def _solve_iteration_points(cam, prob, Tcw, pts, weights, lam):
+    """One damped-GN dense-Schur step over the PER-POINT edge layout
+    (``pcg_ba.PointBAProblem``: obs_* [P, O] with O ≈ 24).
+
+    The cam-major grid layout's per-point segment reduction needs a [N, P]
+    one-hot per camera (C·N·P one-hot traffic — the measured 1932 ms/KF of
+    round 1); here every reduction is either a direct per-point sum over O or
+    a [P·O, C+1] one-hot with C ≈ 48, i.e. ~170× less matmul traffic.  The
+    Schur product itself stays one MXU matmul:
+
+        S = blkdiag(Hcc+λ) − U·Vᵀ,  U = Σ_o onehot⊗(G·Wp), V = Σ_o onehot⊗G.
+    """
+    from .linalg_small import inv3
+    from .pcg_ba import _point_edge_terms
+
+    C = Tcw.shape[0]
+    P, O = prob.obs_cam.shape
+    F6 = C * 6
+
+    r, Jc, Jp, dim = _point_edge_terms(cam, prob, Tcw, pts)   # [P, O, ...]
+    wm = weights[..., None] * dim                             # [P, O, 3]
+    ci_c = jnp.clip(prob.obs_cam, 0, C - 1)
+    Jc = jnp.where(prob.cam_free[ci_c][..., None, None], Jc, 0.0)
+
+    # per-point blocks (direct sums over the O fan-out — no scatter at all)
+    Hpp = jnp.einsum("poki,pok,pokj->pij", Jp, wm, Jp)
+    b_p = jnp.einsum("poki,pok,pok->pi", Jp, wm, r)
+    G = jnp.einsum("poki,pok,pokj->poij", Jc, wm, Jp)         # [P, O, 6, 3]
+
+    lamI3 = lam * jnp.eye(3)
+    Wp = inv3(Hpp + lamI3[None] + 1e-9 * jnp.eye(3)[None])
+    Wp = jnp.where(prob.pt_valid[:, None, None], Wp, 0.0)
+    Gw = jnp.einsum("poij,pjk->poik", G, Wp)                  # G·Wp [P, O, 6, 3]
+
+    # camera-space reductions via a small one-hot over C+1 (invalid → slot C)
+    ci = jnp.where(prob.obs_valid, prob.obs_cam, C)
+    onehot = (ci[..., None] == jnp.arange(C + 1)).astype(jnp.float32)  # [P, O, C+1]
+    Hcc_e = jnp.einsum("poki,pok,pokj->poij", Jc, wm, Jc)
+    b_c_e = jnp.einsum("poki,pok,pok->poi", Jc, wm, r)
+    Hcc = jnp.einsum("poc,poij->cij", onehot, Hcc_e)[:C]
+    b_c = jnp.einsum("poc,poi->ci", onehot, b_c_e)[:C]
+
+    # per-point camera aggregates → Schur product as ONE [C6, 3P] matmul
+    U = jnp.einsum("poc,poij->pcij", onehot, Gw)[:, :C]       # [P, C, 6, 3]
+    V = jnp.einsum("poc,poij->pcij", onehot, G)[:, :C]
+    Uf = jnp.transpose(U, (1, 2, 0, 3)).reshape(F6, P * 3)
+    Vf = jnp.transpose(V, (1, 2, 0, 3)).reshape(F6, P * 3)
+    S = -(Uf @ Vf.T)
+    Hcc_d = Hcc + lam * jnp.eye(6)[None]
+    anchor = jnp.where(prob.cam_free, 0.0, 1.0)[:, None, None] * jnp.eye(6)[None]
+    idx = jnp.arange(C)
+    S = S.reshape(C, 6, C, 6).at[idx, :, idx, :].add(Hcc_d + anchor).reshape(F6, F6)
+
+    b_schur = b_c.reshape(-1) - Uf @ b_p.reshape(-1)
+
+    L, low = jax.scipy.linalg.cho_factor(S + 1e-8 * jnp.eye(F6))
+    dx_c = -jax.scipy.linalg.cho_solve((L, low), b_schur)
+    ok = jnp.all(jnp.isfinite(dx_c))
+    dx_c = jnp.where(ok, dx_c, 0.0).reshape(C, 6)
+    dx_c = jnp.where(prob.cam_free[:, None], dx_c, 0.0)
+
+    # landmark back-substitution: dx_p = −Wp (b_p + Σ_o Gᵀ dx_c)
+    xg = dx_c[ci_c]                                           # [P, O, 6]
+    tp = jnp.einsum("poij,poi->pj", G, xg)
+    dx_p = -jnp.einsum("pij,pj->pi", Wp, b_p + tp)
+    dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
+    dx_p = jnp.where(prob.pt_valid[:, None], dx_p, 0.0)
+
+    Tcw_new = se3.normalize(se3.exp(dx_c) @ Tcw)
+    pts_new = pts + dx_p
+    return Tcw_new, pts_new
+
+
+def solve_ba_points(
+    cam: CameraParams,
+    prob,  # pcg_ba.PointBAProblem
+    *,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+    phase_iters: Tuple[int, int] = (3, 5),
+    lam: float = 1e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-phase robust dense-Schur BA over the per-point layout (the same
+    5→gate→10 structure as ``solve_ba`` / Optimizer.cc:321-349, with LM step
+    acceptance).  Returns (cam_Tcw, pt_pos, obs_inlier [P, O])."""
+    from .pcg_ba import _chi2_point
+
+    chi2_th = jnp.where(prob.obs_right_u > 0, chi2_stereo, chi2_mono)
+    Tcw, pts = prob.cam_Tcw, prob.pt_pos
+    gate = prob.obs_valid
+
+    trunc = 1e4 * chi2_th
+    rho_cap = 2.0 * jnp.sqrt(chi2_th * trunc) - chi2_th
+
+    def robust_cost(Tcw_, pts_, gate_):
+        chi2 = _chi2_point(cam, prob, Tcw_, pts_)
+        rho = jnp.where(
+            chi2 <= chi2_th, chi2,
+            2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 1e-12)) - chi2_th,
+        )
+        rho = jnp.minimum(rho, rho_cap)
+        return jnp.sum(jnp.where(gate_, rho, 0.0))
+
+    for n_iters in phase_iters:
+        def body(_, carry):
+            Tcw, pts, lam_c, cost = carry
+            chi2 = _chi2_point(cam, prob, Tcw, pts)
+            w = gate.astype(jnp.float32) * prob.obs_inv_sigma2 * huber_weight(chi2, chi2_th)
+            w = jnp.where(chi2 < trunc, w, 0.0)
+            Tcw_new, pts_new = _solve_iteration_points(cam, prob, Tcw, pts, w, lam_c)
+            cost_new = robust_cost(Tcw_new, pts_new, gate)
+            accept = cost_new < cost
+            Tcw = jnp.where(accept, Tcw_new, Tcw)
+            pts = jnp.where(accept, pts_new, pts)
+            cost = jnp.where(accept, cost_new, cost)
+            lam_c = jnp.clip(jnp.where(accept, lam_c * 0.5, lam_c * 8.0), 1e-6, 1e3)
+            return Tcw, pts, lam_c, cost
+
+        carry = (Tcw, pts, jnp.asarray(lam, jnp.float32), robust_cost(Tcw, pts, gate))
+        Tcw, pts, _, _ = jax.lax.fori_loop(0, n_iters, body, carry)
+        chi2 = _chi2_point(cam, prob, Tcw, pts)
+        gate = prob.obs_valid & (chi2 < chi2_th)
+
+    return Tcw, pts, gate
+
+
 def solve_ba(
     cam: CameraParams,
     prob: BAProblem,
