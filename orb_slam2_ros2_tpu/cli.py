@@ -70,18 +70,21 @@ def main(argv=None):
         q.add_argument("--load-map", default="")
         q.add_argument("--speed", type=float, default=0.8)
         q.add_argument("--circle", action="store_true")
+        q.add_argument("--gt", default="", help="ground-truth pose file (auto-detected if omitted)")
     args = p.parse_args(argv)
 
     from .io import trajectory as traj_io
 
     if args.cmd == "kitti":
-        from .io.datasets import KittiStereoDataset
+        from .io.datasets import KittiStereoDataset, load_kitti_gt
 
         ds = KittiStereoDataset(args.seq)
         h, w = ds.frame(0)[0].shape
         cfg = _build_cfg(args, w, h)
         slam, poses, stamps, wall = run_stereo(ds, cfg, args)
-        gt = None
+        # KITTI gt row i corresponds to frame i directly
+        gt_all = load_kitti_gt(args.seq, args.gt)
+        gt = list(gt_all[: len(poses)]) if gt_all is not None else None
     elif args.cmd == "tum":
         from .io.datasets import TumRGBDDataset
         from .pipeline.system import SLAM
@@ -102,7 +105,10 @@ def main(argv=None):
             poses.append(np.linalg.inv(Tcw) if Tcw is not None else None)
             stamps.append(stamp)
         wall = time.time() - t0
-        gt = None
+        from .io.datasets import associate_gt, load_tum_gt
+
+        tum_gt = load_tum_gt(args.seq, args.gt)
+        gt = associate_gt(stamps, *tum_gt) if tum_gt is not None else None
     else:  # synth
         import jax.numpy as jnp
 
@@ -139,8 +145,12 @@ def main(argv=None):
         "loops_closed": getattr(slam, "loops_closed", 0),
     }
     if gt is not None and len(tracked) > len(poses) // 2:
-        pairs = [(p_, g) for p_, g in zip(poses, gt) if p_ is not None]
-        out["ate_rmse"] = round(traj_io.ate_rmse([a for a, _ in pairs], [b for _, b in pairs]), 4)
+        pairs = [(p_, g) for p_, g in zip(poses, gt) if p_ is not None and g is not None]
+        if len(pairs) >= 3:
+            out["ate_rmse"] = round(
+                traj_io.ate_rmse([a for a, _ in pairs], [b for _, b in pairs]), 4
+            )
+            out["ate_frames"] = len(pairs)
 
     filled = [p_ if p_ is not None else np.eye(4) for p_ in poses]
     traj_io.write_kitti(args.out + ".kitti.txt", filled)

@@ -11,7 +11,7 @@ no datasets, so tests and bench fall back to io.synthetic.
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -60,6 +60,90 @@ class KittiStereoDataset:
         left = _load_gray(os.path.join(self.left_dir, name))
         right = _load_gray(os.path.join(self.right_dir, name))
         return left, right, self.times[i]
+
+
+def load_kitti_gt(seq_dir: str, explicit: str = "") -> Optional[np.ndarray]:
+    """KITTI odometry ground-truth poses for a sequence: [N, 4, 4] Twc.
+
+    The official layout keeps them OUTSIDE the sequence dir
+    (``dataset/poses/{seq}.txt``, one row-major 3×4 [R|t] per line — the same
+    file format the reference's examples assume users evaluate against,
+    example/Stereo/KittiStereo.cc:28-37).  Searched, in order:
+    ``explicit``, ``{seq_dir}/poses.txt``, ``{seq_dir}/{seq}.txt``,
+    ``{seq_dir}/../../poses/{seq}.txt``.
+    """
+    seq = os.path.basename(os.path.normpath(seq_dir))
+    candidates = [
+        explicit,
+        os.path.join(seq_dir, "poses.txt"),
+        os.path.join(seq_dir, f"{seq}.txt"),
+        os.path.join(seq_dir, "..", "..", "poses", f"{seq}.txt"),
+    ]
+    for path in candidates:
+        if path and os.path.exists(path):
+            # gt is optional evaluation input; a malformed file must not lose
+            # the run's trajectory (loading happens after tracking finishes)
+            try:
+                rows = np.loadtxt(path, dtype=np.float64).reshape(-1, 3, 4)
+            except ValueError as e:
+                import sys
+
+                print(f"warning: bad gt file {path}: {e}", file=sys.stderr)
+                return None
+            T = np.tile(np.eye(4), (len(rows), 1, 1))
+            T[:, :3, :4] = rows
+            return T
+    return None
+
+
+def load_tum_gt(
+    seq_dir: str, explicit: str = ""
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """TUM ground truth: (stamps [N], Twc [N, 4, 4]) from groundtruth.txt
+    (``t tx ty tz qx qy qz qw`` lines)."""
+    path = explicit or os.path.join(seq_dir, "groundtruth.txt")
+    if not os.path.exists(path):
+        return None
+    stamps, poses = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) < 8:
+                continue
+            t = float(parts[0])
+            tx, ty, tz, qx, qy, qz, qw = (float(x) for x in parts[1:8])
+            n = max(qx * qx + qy * qy + qz * qz + qw * qw, 1e-12) ** 0.5
+            qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n
+            R = np.array([
+                [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+                [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+                [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+            ])
+            T = np.eye(4)
+            T[:3, :3] = R
+            T[:3, 3] = (tx, ty, tz)
+            stamps.append(t)
+            poses.append(T)
+    if not stamps:
+        return None
+    return np.asarray(stamps), np.stack(poses)
+
+
+def associate_gt(
+    stamps: Sequence[float],
+    gt_stamps: np.ndarray,
+    gt_poses: np.ndarray,
+    max_dt: float = 0.02,
+) -> List[Optional[np.ndarray]]:
+    """Nearest-stamp association of estimated-frame stamps to ground truth
+    (evo/TUM `associate.py` convention: closest match within ``max_dt``)."""
+    out: List[Optional[np.ndarray]] = []
+    for s in stamps:
+        i = int(np.argmin(np.abs(gt_stamps - s)))
+        out.append(gt_poses[i] if abs(float(gt_stamps[i]) - s) <= max_dt else None)
+    return out
 
 
 class TumRGBDDataset:

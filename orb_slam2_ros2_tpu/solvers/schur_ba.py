@@ -174,63 +174,114 @@ def _chi2(cam, prob, Tcw, pts):
 
 
 # --------------------------------------------------------------------------
-# per-point layout: dense Schur without the [N, P] one-hot
+# per-point layout: feature-major dense Schur (see solvers.edge_fm)
 # --------------------------------------------------------------------------
 
-def _solve_iteration_points(cam, prob, Tcw, pts, weights, lam):
-    """One damped-GN dense-Schur step over the PER-POINT edge layout
-    (``pcg_ba.PointBAProblem``: obs_* [P, O] with O ≈ 24).
+class _PointFM(NamedTuple):
+    """Obs-slot-major planes of a PointBAProblem: every array's minor dim is
+    the (large) point axis, so nothing suffers (8, 128) tile padding."""
 
-    The cam-major grid layout's per-point segment reduction needs a [N, P]
-    one-hot per camera (C·N·P one-hot traffic — the measured 1932 ms/KF of
-    round 1); here every reduction is either a direct per-point sum over O or
-    a [P·O, C+1] one-hot with C ≈ 48, i.e. ~170× less matmul traffic.  The
-    Schur product itself stays one MXU matmul:
+    ci: jnp.ndarray        # i32[O, P] clipped camera index
+    uv: jnp.ndarray        # f32[2, O, P]
+    right_u: jnp.ndarray   # f32[O, P]
+    inv_sigma2: jnp.ndarray  # f32[O, P]
+    valid: jnp.ndarray     # bool[O, P]
 
-        S = blkdiag(Hcc+λ) − U·Vᵀ,  U = Σ_o onehot⊗(G·Wp), V = Σ_o onehot⊗G.
-    """
-    from .linalg_small import inv3
-    from .pcg_ba import _point_edge_terms
+
+def _to_fm(prob) -> "_PointFM":
+    C = prob.cam_Tcw.shape[0]
+    return _PointFM(
+        ci=jnp.clip(prob.obs_cam, 0, C - 1).T,
+        uv=jnp.transpose(prob.obs_uv, (2, 1, 0)),
+        right_u=prob.obs_right_u.T,
+        inv_sigma2=prob.obs_inv_sigma2.T,
+        valid=prob.obs_valid.T,
+    )
+
+
+def _fm_edge_terms(cam, fm: "_PointFM", Tcw, pts):
+    """Feature-major edge terms for the per-point layout: gather per-edge
+    camera rows (9+3 scalar-plane gathers — no [E, 3, 3] tensors), broadcast
+    the per-point world position over the O axis."""
+    from . import edge_fm
 
     C = Tcw.shape[0]
-    P, O = prob.obs_cam.shape
+    Rf = Tcw[:, :3, :3].reshape(C, 9).T         # [9, C]
+    tf = Tcw[:, :3, 3].T                        # [3, C]
+    R9 = Rf[:, fm.ci]                           # [9, O, P]
+    t3 = tf[:, fm.ci]
+    pw3 = pts.T[:, None, :]                     # [3, 1, P] broadcasts over O
+    return edge_fm.edge_terms(cam, R9, t3, pw3, fm.uv, fm.right_u, fm.inv_sigma2)
+
+
+def _solve_iteration_points(cam, prob, fm, Tcw, pts, weights, lam):
+    """One damped-GN dense-Schur step over the per-point layout in
+    feature-major planes ([O, P]-shaped scalar arrays).
+
+    The naive [P, O, 6, 3] block tensors tile-pad their trailing dims to
+    (8, 128) on TPU — 28× the logical bytes; at the production window that
+    padding alone was most of round 1's 259 ms/keyframe.  Here every per-edge
+    quantity is a [k, O, P] stack of planes (zero padding), per-point
+    reductions are sums over the O axis, and camera-space reductions ride one
+    [≤27+18, O·P] × [O·P, C+1] one-hot MXU matmul.  The Schur product stays
+    one [C6, 3P] matmul:  S = blkdiag(Hcc+λ) − (B Wp) Bᵀ.
+
+    ``weights`` is [O, P] (validity ⊗ Huber ⊗ information).
+    """
+    from . import edge_fm
+
+    C = Tcw.shape[0]
+    O, P = fm.ci.shape
     F6 = C * 6
 
-    r, Jc, Jp, dim = _point_edge_terms(cam, prob, Tcw, pts)   # [P, O, ...]
-    wm = weights[..., None] * dim                             # [P, O, 3]
-    ci_c = jnp.clip(prob.obs_cam, 0, C - 1)
-    Jc = jnp.where(prob.cam_free[ci_c][..., None, None], Jc, 0.0)
+    terms = _fm_edge_terms(cam, fm, Tcw, pts)
+    # fixed cameras contribute no camera gradient
+    free_g = prob.cam_free[fm.ci]                             # [O, P]
+    terms = terms._replace(Jc=jnp.where(free_g[None], terms.Jc, 0.0))
 
-    # per-point blocks (direct sums over the O fan-out — no scatter at all)
-    Hpp = jnp.einsum("poki,pok,pokj->pij", Jp, wm, Jp)
-    b_p = jnp.einsum("poki,pok,pok->pi", Jp, wm, r)
-    G = jnp.einsum("poki,pok,pokj->poij", Jc, wm, Jp)         # [P, O, 6, 3]
+    # per-point blocks: direct sums over the O axis
+    Hpp6 = edge_fm.hpp_comps(terms, weights, reduce_axis=0)   # [6, P]
+    b_p3 = edge_fm.bp_comps(terms, weights, reduce_axis=0)    # [3, P]
+    lam_diag = jnp.zeros((6, 1)).at[jnp.asarray([0, 3, 5])].set(lam + 1e-9)
+    Wp6 = edge_fm.sym3_inv(Hpp6 + lam_diag)
+    Wp6 = jnp.where(prob.pt_valid[None, :], Wp6, 0.0)
 
-    lamI3 = lam * jnp.eye(3)
-    Wp = inv3(Hpp + lamI3[None] + 1e-9 * jnp.eye(3)[None])
-    Wp = jnp.where(prob.pt_valid[:, None, None], Wp, 0.0)
-    Gw = jnp.einsum("poij,pjk->poik", G, Wp)                  # G·Wp [P, O, 6, 3]
+    G = edge_fm.g_comps(terms, weights)                       # [18, O, P]
 
-    # camera-space reductions via a small one-hot over C+1 (invalid → slot C)
-    ci = jnp.where(prob.obs_valid, prob.obs_cam, C)
-    onehot = (ci[..., None] == jnp.arange(C + 1)).astype(jnp.float32)  # [P, O, C+1]
-    Hcc_e = jnp.einsum("poki,pok,pokj->poij", Jc, wm, Jc)
-    b_c_e = jnp.einsum("poki,pok,pok->poi", Jc, wm, r)
-    Hcc = jnp.einsum("poc,poij->cij", onehot, Hcc_e)[:C]
-    b_c = jnp.einsum("poc,poi->ci", onehot, b_c_e)[:C]
+    # camera reductions: one-hot over C+1 (invalid edges → slot C)
+    ci_oh = jnp.where(fm.valid, fm.ci, C)
+    onehot = (ci_oh[None] == jnp.arange(C + 1)[:, None, None]).astype(jnp.float32)
+    hcc_e = edge_fm.hcc_comps(terms, weights)                 # [21, O, P]
+    bc_e = edge_fm.bc_comps(terms, weights)                   # [6, O, P]
+    pay = jnp.concatenate([hcc_e, bc_e]).reshape(27, O * P)
+    red = pay @ onehot.reshape(C + 1, O * P).T                # [27, C+1]
+    Hcc21 = red[:21, :C]
+    b_c = red[21:, :C]                                        # [6, C]
 
-    # per-point camera aggregates → Schur product as ONE [C6, 3P] matmul
-    U = jnp.einsum("poc,poij->pcij", onehot, Gw)[:, :C]       # [P, C, 6, 3]
-    V = jnp.einsum("poc,poij->pcij", onehot, G)[:, :C]
-    Uf = jnp.transpose(U, (1, 2, 0, 3)).reshape(F6, P * 3)
-    Vf = jnp.transpose(V, (1, 2, 0, 3)).reshape(F6, P * 3)
+    # per-point per-camera coupling blocks B[c, p] = Σ_o onehot·G
+    B18 = jnp.einsum("cop,gop->gcp", onehot, G)[:, :C]        # [18, C, P]
+    # BW[c, p] = B[c, p] @ Wp[p]   (6×3 · sym3), componentwise planes
+    S3 = edge_fm.SYM3_AT
+    BW = jnp.stack([
+        sum(B18[3 * a + j] * Wp6[S3[(j, b)]] for j in range(3))
+        for a in range(6) for b in range(3)
+    ])                                                        # [18, C, P]
+
+    def flat(x18):  # [18, C, P] → [C6, 3P] with col index p·3+b
+        return jnp.transpose(
+            x18.reshape(6, 3, C, P), (2, 0, 3, 1)
+        ).reshape(F6, P * 3)
+
+    Uf = flat(BW)
+    Vf = flat(B18)
     S = -(Uf @ Vf.T)
+    Hcc = edge_fm.sym6_to_dense(Hcc21)                        # [C, 6, 6]
     Hcc_d = Hcc + lam * jnp.eye(6)[None]
     anchor = jnp.where(prob.cam_free, 0.0, 1.0)[:, None, None] * jnp.eye(6)[None]
     idx = jnp.arange(C)
     S = S.reshape(C, 6, C, 6).at[idx, :, idx, :].add(Hcc_d + anchor).reshape(F6, F6)
 
-    b_schur = b_c.reshape(-1) - Uf @ b_p.reshape(-1)
+    b_schur = b_c.T.reshape(-1) - Uf @ b_p3.T.reshape(-1)
 
     L, low = jax.scipy.linalg.cho_factor(S + 1e-8 * jnp.eye(F6))
     dx_c = -jax.scipy.linalg.cho_solve((L, low), b_schur)
@@ -239,14 +290,14 @@ def _solve_iteration_points(cam, prob, Tcw, pts, weights, lam):
     dx_c = jnp.where(prob.cam_free[:, None], dx_c, 0.0)
 
     # landmark back-substitution: dx_p = −Wp (b_p + Σ_o Gᵀ dx_c)
-    xg = dx_c[ci_c]                                           # [P, O, 6]
-    tp = jnp.einsum("poij,poi->pj", G, xg)
-    dx_p = -jnp.einsum("pij,pj->pi", Wp, b_p + tp)
+    xg = dx_c.T[:, fm.ci]                                     # [6, O, P]
+    tp = jnp.sum(edge_fm.gT_apply(G, xg), axis=1)             # [3, P]
+    dx_p = edge_fm.sym3_apply(Wp6, b_p3 + tp)
     dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
-    dx_p = jnp.where(prob.pt_valid[:, None], dx_p, 0.0)
+    dx_p = jnp.where(prob.pt_valid[None, :], dx_p, 0.0)
 
     Tcw_new = se3.normalize(se3.exp(dx_c) @ Tcw)
-    pts_new = pts + dx_p
+    pts_new = pts - dx_p.T
     return Tcw_new, pts_new
 
 
@@ -262,17 +313,19 @@ def solve_ba_points(
     """Two-phase robust dense-Schur BA over the per-point layout (the same
     5→gate→10 structure as ``solve_ba`` / Optimizer.cc:321-349, with LM step
     acceptance).  Returns (cam_Tcw, pt_pos, obs_inlier [P, O])."""
-    from .pcg_ba import _chi2_point
-
-    chi2_th = jnp.where(prob.obs_right_u > 0, chi2_stereo, chi2_mono)
+    fm = _to_fm(prob)
+    chi2_th = jnp.where(fm.right_u > 0, chi2_stereo, chi2_mono)  # [O, P]
     Tcw, pts = prob.cam_Tcw, prob.pt_pos
-    gate = prob.obs_valid
+    gate = fm.valid
 
     trunc = 1e4 * chi2_th
     rho_cap = 2.0 * jnp.sqrt(chi2_th * trunc) - chi2_th
 
+    def chi2_of(Tcw_, pts_):
+        return _fm_edge_terms(cam, fm, Tcw_, pts_).chi2          # [O, P]
+
     def robust_cost(Tcw_, pts_, gate_):
-        chi2 = _chi2_point(cam, prob, Tcw_, pts_)
+        chi2 = chi2_of(Tcw_, pts_)
         rho = jnp.where(
             chi2 <= chi2_th, chi2,
             2.0 * jnp.sqrt(chi2_th * jnp.maximum(chi2, 1e-12)) - chi2_th,
@@ -283,10 +336,10 @@ def solve_ba_points(
     for n_iters in phase_iters:
         def body(_, carry):
             Tcw, pts, lam_c, cost = carry
-            chi2 = _chi2_point(cam, prob, Tcw, pts)
-            w = gate.astype(jnp.float32) * prob.obs_inv_sigma2 * huber_weight(chi2, chi2_th)
+            chi2 = chi2_of(Tcw, pts)
+            w = gate.astype(jnp.float32) * fm.inv_sigma2 * huber_weight(chi2, chi2_th)
             w = jnp.where(chi2 < trunc, w, 0.0)
-            Tcw_new, pts_new = _solve_iteration_points(cam, prob, Tcw, pts, w, lam_c)
+            Tcw_new, pts_new = _solve_iteration_points(cam, prob, fm, Tcw, pts, w, lam_c)
             cost_new = robust_cost(Tcw_new, pts_new, gate)
             accept = cost_new < cost
             Tcw = jnp.where(accept, Tcw_new, Tcw)
@@ -297,10 +350,10 @@ def solve_ba_points(
 
         carry = (Tcw, pts, jnp.asarray(lam, jnp.float32), robust_cost(Tcw, pts, gate))
         Tcw, pts, _, _ = jax.lax.fori_loop(0, n_iters, body, carry)
-        chi2 = _chi2_point(cam, prob, Tcw, pts)
-        gate = prob.obs_valid & (chi2 < chi2_th)
+        chi2 = chi2_of(Tcw, pts)
+        gate = fm.valid & (chi2 < chi2_th)
 
-    return Tcw, pts, gate
+    return Tcw, pts, gate.T
 
 
 def solve_ba(
