@@ -1,12 +1,22 @@
-"""Keyframe database for place recognition — dense tf-idf retrieval.
+"""Keyframe database for place recognition — sparse top-words tf-idf rows.
 
 The reference keeps an inverted index word→{KF} and scores candidates with
 shared-word counts, covisibility-group accumulation and best-of-group
 selection (reference: src/KeyFrameDB.cc — addKeyFrame :8-36, findRelocKfs
-:39-173, findLoopCloseKfs :181-242).  The TPU redesign stores one dense
-L2-normalized tf-idf row per keyframe; retrieval is a single MXU matmul
-``scores = bow_matrix @ query`` over all keyframes, followed by the same
-covisibility-group accumulation as masked matrix ops.
+:39-173, findLoopCloseKfs :181-242).
+
+TPU redesign: each keyframe stores its top-``S`` words by tf-idf weight as a
+fixed-shape (ids, weights) pair — memory is O(K·S) instead of the dense
+O(K·W) rows of round 1, which made a DBoW3-scale vocabulary (10⁶ words)
+impossible (4 GB).  A query scatters its own sparse vector into a transient
+dense [W] scratch (4 MB at W=10⁶) and every keyframe score is one gather +
+row-sum: ``score[k] = Σ_s scratch[word_ids[k, s]] · weights[k, s]`` — the
+sparse dot product of L2-normalized tf-idf vectors (cosine score; documented
+deviation from DBoW3's L1 score, same retrieval ordering in practice).
+
+The reference's featvec/levelsUp node grouping (Frame.h:224-231) exists to
+prune C++ descriptor matching; our matching is a dense hamming matrix on the
+MXU, so no counterpart is needed (documented deviation).
 """
 
 from __future__ import annotations
@@ -17,41 +27,90 @@ import jax
 import jax.numpy as jnp
 
 from ..mapstate.map_state import MapState
-from .vocabulary import Vocabulary, bow_vector, transform
+from .vocabulary import Vocabulary, transform
+
+
+class BowVec(NamedTuple):
+    """Sparse tf-idf vector: top-S (word id, weight) pairs, L2-normalized."""
+
+    ids: jnp.ndarray      # i32[S], −1 = empty slot
+    weights: jnp.ndarray  # f32[S]
 
 
 class KeyFrameDB(NamedTuple):
-    """Dense BoW store: one tf-idf row per keyframe slot."""
+    """Sparse BoW store: top-S word (id, weight) rows per keyframe slot."""
 
-    bow: jnp.ndarray  # f32[K, W]
+    word_ids: jnp.ndarray  # i32[K, S], −1 = empty
+    weights: jnp.ndarray   # f32[K, S]
 
     @staticmethod
-    def empty(n_keyframes: int, n_words: int) -> "KeyFrameDB":
-        return KeyFrameDB(bow=jnp.zeros((n_keyframes, n_words), jnp.float32))
+    def empty(n_keyframes: int, max_words: int) -> "KeyFrameDB":
+        return KeyFrameDB(
+            word_ids=jnp.full((n_keyframes, max_words), -1, jnp.int32),
+            weights=jnp.zeros((n_keyframes, max_words), jnp.float32),
+        )
+
+    @property
+    def max_words(self) -> int:
+        return self.word_ids.shape[1]
 
 
-def rebuild(vocab: Vocabulary, state: MapState) -> KeyFrameDB:
+def sparse_bow(vocab: Vocabulary, word_ids: jnp.ndarray, max_words: int) -> BowVec:
+    """Word histogram → top-``max_words`` tf-idf entries, L2-normalized over
+    the kept entries (replaces the dense ``bow_vector`` for the database)."""
+    W = vocab.n_words
+    counts = jnp.zeros((W + 1,), jnp.float32).at[
+        jnp.where(word_ids >= 0, word_ids, W)
+    ].add(1.0, mode="drop")[:W]
+    v = counts * vocab.idf
+    k = min(max_words, W)
+    top_w, top_i = jax.lax.top_k(v, k)
+    norm = jnp.linalg.norm(top_w)
+    w = jnp.where(top_w > 0, top_w / jnp.maximum(norm, 1e-9), 0.0)
+    ids = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
+    if k < max_words:  # tiny vocabulary: pad the row to the fixed width
+        pad = max_words - k
+        ids = jnp.concatenate([ids, jnp.full((pad,), -1, jnp.int32)])
+        w = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
+    return BowVec(ids=ids, weights=w)
+
+
+def rebuild(vocab: Vocabulary, state: MapState, max_words: int = 1024) -> KeyFrameDB:
     """Recompute every valid keyframe's BoW row — the reference's database
     refill after map load (System.cc:104-110), vmapped over keyframes."""
     def one(desc, valid, kf_ok):
         words = transform(vocab, desc, valid & kf_ok)
-        return bow_vector(vocab, words)
+        return sparse_bow(vocab, words, max_words)
 
     rows = jax.vmap(one)(state.kf_desc, state.kf_feat_valid, state.kf_valid[:, None])
-    rows = jnp.where(state.kf_valid[:, None], rows, 0.0)
-    return KeyFrameDB(bow=rows)
+    return KeyFrameDB(
+        word_ids=jnp.where(state.kf_valid[:, None], rows.ids, -1),
+        weights=jnp.where(state.kf_valid[:, None], rows.weights, 0.0),
+    )
 
 
-def add_keyframe(db: KeyFrameDB, vocab: Vocabulary, kf_id, desc: jnp.ndarray, valid: jnp.ndarray) -> KeyFrameDB:
+def add_keyframe(
+    db: KeyFrameDB, vocab: Vocabulary, kf_id, desc: jnp.ndarray, valid: jnp.ndarray
+) -> KeyFrameDB:
     """Compute and store the keyframe's BoW row (KeyFrameDB::addKeyFrame)."""
     words = transform(vocab, desc, valid)
-    v = bow_vector(vocab, words)
-    return KeyFrameDB(bow=db.bow.at[kf_id].set(v))
+    v = sparse_bow(vocab, words, db.max_words)
+    return KeyFrameDB(
+        word_ids=db.word_ids.at[kf_id].set(v.ids),
+        weights=db.weights.at[kf_id].set(v.weights),
+    )
 
 
-def query_scores(db: KeyFrameDB, query_vec: jnp.ndarray, kf_valid: jnp.ndarray) -> jnp.ndarray:
-    """Cosine similarity of the query against every keyframe row [K]."""
-    s = db.bow @ query_vec
+def query_scores(
+    db: KeyFrameDB, query: BowVec, kf_valid: jnp.ndarray, *, n_words: int
+) -> jnp.ndarray:
+    """Cosine similarity of the query against every keyframe row [K]:
+    scatter the query into a dense [W] scratch, gather at each row's ids."""
+    scratch = jnp.zeros((n_words + 1,), jnp.float32).at[
+        jnp.where(query.ids >= 0, query.ids, n_words)
+    ].set(query.weights, mode="drop")
+    g = scratch[jnp.clip(db.word_ids, 0, n_words - 1)]          # [K, S]
+    s = jnp.sum(jnp.where(db.word_ids >= 0, g * db.weights, 0.0), axis=1)
     return jnp.where(kf_valid, s, 0.0)
 
 
@@ -59,7 +118,9 @@ def _group_scores(state: MapState, s: jnp.ndarray, top_covis: int = 10) -> jnp.n
     """Covisibility-group accumulated score (KeyFrameDB.cc:125-173): each
     keyframe's score plus its top-``top_covis`` covisible neighbours'."""
     K = s.shape[0]
-    w, ids = jax.lax.top_k(state.covis * state.kf_valid.astype(jnp.int32), top_covis)
+    w, ids = jax.lax.top_k(
+        state.covis * state.kf_valid.astype(jnp.int32), min(top_covis, K)
+    )
     nb = jnp.where(w > 0, ids, K)
     neighbor_sum = jnp.sum(
         jnp.where(w > 0, s[jnp.clip(nb, 0, K - 1)], 0.0), axis=1
@@ -70,14 +131,15 @@ def _group_scores(state: MapState, s: jnp.ndarray, top_covis: int = 10) -> jnp.n
 def find_reloc_candidates(
     db: KeyFrameDB,
     state: MapState,
-    query_vec: jnp.ndarray,
+    query: BowVec,
     *,
+    n_words: int,
     n_candidates: int = 5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Relocalization candidates (findRelocKfs, KeyFrameDB.cc:39-173):
     score all KFs, group-accumulate over covisibility, keep groups above
     0.75·best, return each group's best member."""
-    s = query_scores(db, query_vec, state.kf_valid)
+    s = query_scores(db, query, state.kf_valid, n_words=n_words)
     gs = _group_scores(state, s)
     th = 0.75 * jnp.max(gs)
     ok = (gs >= th) & (s > 0)
@@ -89,9 +151,10 @@ def find_reloc_candidates(
 def find_loop_candidates(
     db: KeyFrameDB,
     state: MapState,
-    query_vec: jnp.ndarray,
+    query: BowVec,
     query_kf,
     *,
+    n_words: int,
     n_candidates: int = 5,
     min_covis_weight: int = 15,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -99,7 +162,7 @@ def find_loop_candidates(
     like reloc retrieval, but keyframes covisible with the query are excluded
     and candidates must beat the query's own neighbourhood minimum score."""
     K = state.kf_capacity
-    s = query_scores(db, query_vec, state.kf_valid)
+    s = query_scores(db, query, state.kf_valid, n_words=n_words)
 
     # min score among the query's covisible neighbours = base threshold
     nb_w = state.covis[query_kf] * state.kf_valid.astype(jnp.int32)

@@ -22,6 +22,19 @@ import time
 import numpy as np
 
 
+def _setup_compile_cache():
+    """Persistent XLA compilation cache: the full pipeline costs minutes to
+    compile cold (§5.1); warm runs skip straight to execution.  Same directory
+    bench.py uses, overridable via JAX_COMPILATION_CACHE_DIR."""
+    import jax
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _build_cfg(args, width, height):
     from .config import SLAMConfig
 
@@ -32,6 +45,14 @@ def _build_cfg(args, width, height):
     cam = cfg.camera
     if (width, height) != (cam.width, cam.height):
         cfg = cfg.replace(camera=cam.__class__(**{**cam.__dict__, "width": width, "height": height}))
+    if getattr(args, "distributed", False):
+        from .parallel.mesh import init_distributed
+
+        pid = init_distributed()
+        print(f"[distributed] process {pid}", file=sys.stderr)
+    if getattr(args, "ba_devices", 0) > 1:
+        cfg = cfg.replace(dist=cfg.dist.__class__(n_devices=args.ba_devices,
+                                                  mesh_axis=cfg.dist.mesh_axis))
     return cfg
 
 
@@ -57,7 +78,58 @@ def run_stereo(dataset, cfg, args):
     return slam, poses, stamps, wall
 
 
+def _train_vocab(args):
+    """Offline vocabulary training (the reference ships DBoW3's pre-trained
+    ORBvoc, System.cc:92-95; we train on extracted ORB descriptors — from a
+    real sequence when given, else from diverse synthetic viewpoints)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .bow.vocabulary import save_vocabulary, train_vocabulary
+    from .config import SLAMConfig
+    from .features.extractor import make_stereo_frontend
+    from .geometry.camera import CameraParams
+
+    if args.seq:
+        from .io.datasets import KittiStereoDataset
+
+        ds = KittiStereoDataset(args.seq)
+        h, w = ds.frame(0)[0].shape
+        cfg = SLAMConfig().replace(camera=SLAMConfig().camera.__class__(width=w, height=h))
+    else:
+        from .io.synthetic import SyntheticStereoDataset
+
+        cfg = SLAMConfig()
+        # two trajectories through the box → distinct wall/floor viewpoints
+        ds_fwd = SyntheticStereoDataset(cfg.camera, n_frames=args.frames, speed=1.6)
+        ds_cir = SyntheticStereoDataset(cfg.camera, n_frames=args.frames, circle=True)
+
+    cam = CameraParams.from_config(cfg.camera)
+    frontend = jax.jit(make_stereo_frontend(cfg))
+    descs = []
+    for i in range(args.frames):
+        if args.seq:
+            left, right, _ = ds.frame(i)
+            frames = [(jnp.asarray(left), jnp.asarray(right))]
+        else:
+            frames = [ds_fwd.frame(i)[:2], ds_cir.frame(i)[:2]]
+        for l, r in frames:
+            f = frontend(l, r, cam)
+            d = np.asarray(f.feats.desc)[np.asarray(f.feats.valid)]
+            descs.append(d)
+        if i % 10 == 0:
+            print(f"[train-vocab] frame {i}/{args.frames}", file=sys.stderr)
+    alld = np.concatenate(descs)
+    print(f"[train-vocab] {len(alld)} descriptors → k={args.branching} L={args.depth}",
+          file=sys.stderr)
+    vocab = train_vocabulary(alld, branching=args.branching, depth=args.depth)
+    save_vocabulary(vocab, args.out)
+    print(json.dumps({"descriptors": int(len(alld)), "words": vocab.n_words,
+                      "out": args.out}))
+
+
 def main(argv=None):
+    _setup_compile_cache()
     p = argparse.ArgumentParser(prog="orb_slam2_ros2_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("kitti", "tum", "synth"):
@@ -71,7 +143,23 @@ def main(argv=None):
         q.add_argument("--speed", type=float, default=0.8)
         q.add_argument("--circle", action="store_true")
         q.add_argument("--gt", default="", help="ground-truth pose file (auto-detected if omitted)")
+        q.add_argument("--distributed", action="store_true",
+                       help="join a multi-host JAX runtime (SLAM_COORDINATOR / "
+                            "SLAM_NUM_PROCESSES / SLAM_PROCESS_ID env vars)")
+        q.add_argument("--ba-devices", type=int, default=0,
+                       help="shard global BA landmark blocks over N devices")
+    tv = sub.add_parser("train-vocab", help="train a BoW vocabulary offline "
+                        "(replaces shipping DBoW3's ORBvoc, reference System.cc:92-95)")
+    tv.add_argument("--out", default="vocab.npz")
+    tv.add_argument("--frames", type=int, default=48)
+    tv.add_argument("--branching", type=int, default=10)
+    tv.add_argument("--depth", type=int, default=4)
+    tv.add_argument("--seq", default="", help="optional KITTI sequence dir (synthetic scenes if omitted)")
     args = p.parse_args(argv)
+
+    if args.cmd == "train-vocab":
+        _train_vocab(args)
+        return
 
     from .io import trajectory as traj_io
 
@@ -116,11 +204,7 @@ def main(argv=None):
         from .pipeline.system import SLAM
 
         n = args.frames or 100
-        cfg = _build_cfg(args, 1241, 376) if args.config else None
-        if cfg is None:
-            from .config import SLAMConfig
-
-            cfg = SLAMConfig()
+        cfg = _build_cfg(args, 1241, 376)
         ds = SyntheticStereoDataset(cfg.camera, n_frames=n, speed=args.speed, circle=args.circle)
         slam = SLAM(cfg)
         poses, stamps, gt = [], [], []

@@ -128,7 +128,16 @@ class MappingConfig:
     min_covis_weight: int = 15       # covisibility edge threshold (KeyFrame.cc:94)
     n_triangulate_kfs: int = 10      # best-covisible KFs for new MPs
     triangulation_rank_gate: float = 1e-3  # σ3/σ2 SVD gate (LocalMapping.cc:330)
-    max_new_mps_per_kf: int = 2048   # padded capacity for one triangulation round
+    # (per-round new-MP capacity is implicitly orb.max_keypoints — one
+    # candidate per current-KF feature slot)
+    # tracking ∥ mapping overlap (the reference's LocalMapping thread +
+    # abort-BA handshake, System.cc:119-129, LocalMapping.h:103-166):
+    # synchronous=False defers local BA / KF-culling / loop closing to the
+    # first idle frame after a keyframe; a new keyframe arriving first aborts
+    # the pending BA (setAbortBA) unless ``force_ba_every`` pending KFs have
+    # already been skipped
+    synchronous: bool = False
+    force_ba_every: int = 2          # run BA at least every Nth KF under load
 
 
 @dataclass(frozen=True)
@@ -138,10 +147,13 @@ class LoopConfig:
     consistency_th: int = 3       # consecutive consistent groups (LoopClosing.cc:272)
     min_bow_matches: int = 20
     min_sim3_inliers: int = 20
+    min_expanded_matches: int = 50   # after searchBySim3 (LoopClosing.cc:367-369)
     min_sim3_opt_inliers: int = 50
     min_group_proj_matches: int = 40
     essential_graph_weight: int = 100  # covis weight for essential graph (LoopClosing.cc:536)
-    global_ba_iters: int = 10
+    # damped-GN iterations per global-BA phase after a loop (reference runs
+    # 10 g2o iterations, LoopClosing.cc:95; our PCG-Schur converges in fewer)
+    global_ba_phase_iters: Tuple[int, int] = (3, 3)
 
 
 @dataclass(frozen=True)
@@ -159,14 +171,17 @@ class BAConfig:
     # the reference runs 10 plain-GN iterations per round; our LM with step
     # acceptance converges in ~3-5, so 6 buys the same accuracy at half cost
     pose_iters_per_round: int = 6
-    local_ba_iters: int = 10      # 5 + gate + 10 in reference; we run damped GN
+    # damped-GN iterations per local-BA phase (reference: 5 + χ² gate + 10,
+    # Optimizer.cc:225-442; our LM step acceptance needs fewer)
+    local_ba_phase_iters: Tuple[int, int] = (3, 5)
     max_local_ba_kfs: int = 16    # free keyframes in local BA window
     max_local_ba_fixed: int = 32  # fixed 2nd-ring anchors
     local_ba_points: int = 8192   # landmark slots in the local BA window
     pcg_iters: int = 40           # CG iterations for the (global) reduced system
+    # LM damping: init value; the raise/lower factors (×8 / ×0.5) are fixed
+    # tuned constants in solvers.pose_opt, not knobs — the reference delegates
+    # the equivalent schedule to g2o internals
     lm_lambda_init: float = 1e-4
-    lm_lambda_up: float = 10.0
-    lm_lambda_down: float = 0.33
 
 
 @dataclass(frozen=True)
@@ -176,7 +191,7 @@ class MapConfig:
     max_keyframes: int = 1024
     max_mappoints: int = 1 << 18   # 262144
     max_obs_per_mp: int = 24       # per-MapPoint observation fan-out cap
-    covis_topk: int = 32           # top-k covisibility neighbours kept per KF
+    # (covisibility is a dense [K, K] weight matrix by design — no top-k list)
     load_map: bool = False
     save_map: bool = False
     map_path: str = ""
@@ -188,9 +203,12 @@ class BoWConfig:
 
     branching: int = 10   # k-ary tree fan-out (DBoW3 ORBvoc uses k=10)
     depth: int = 4        # levels (ORBvoc uses 6 → 1M words; 4 → 10k words)
-    levels_up: int = 1    # feature-vector grouping level (DBoW3 levelsup=4 of 6)
-    vocab_path: str = ""  # optional pre-trained vocabulary (npz)
-    max_words_per_query: int = 512
+    vocab_path: str = ""  # optional pre-trained vocabulary (npz or DBoW .txt)
+    # top-S sparse tf-idf entries kept per keyframe row / query (the KFDB is
+    # O(K·S) regardless of vocabulary size; 1024 ≥ typical distinct words of
+    # a 2000-feature frame).  DBoW3's featvec/levelsUp grouping has no
+    # counterpart: it prunes C++ matching, ours is a dense hamming matmul.
+    max_words_per_query: int = 1024
 
 
 @dataclass(frozen=True)

@@ -148,6 +148,81 @@ def _append_observations(state: MapState, kf_id, mp_ids: jnp.ndarray, feat_ids: 
     return state._replace(mp_obs_kf=obs_kf, mp_obs_feat=obs_feat, mp_n_obs=n_obs)
 
 
+def merge_mappoints(state: MapState, winner: jnp.ndarray, loser: jnp.ndarray, mask: jnp.ndarray) -> MapState:
+    """Batched MapPoint::replace (reference MapPoint.cc:213-233): the loser's
+    keyframe slots are repointed to the winner, its observations transferred
+    into the winner's bounded list (entries in keyframes the winner already
+    observes are dropped, mirroring the isInKeyFrame skip at MapPoint.cc:223),
+    the loser is invalidated and cleared, and the winner inherits the loser's
+    tracking counters (updateTrackParam).  Observations past the winner's list
+    capacity are dropped (the repointed kf_mp_idx slots still count toward
+    covisibility recounts of those keyframes' own rows).
+
+    ``winner/loser [B]`` map-point ids, ``mask [B]`` selects live merges.
+    Rows where winner == loser or mask is False are no-ops.  Duplicate
+    winners across rows write overlapping list slots (last write wins) —
+    acceptable for the rare many-into-one merge.
+    """
+    K = state.kf_capacity
+    M = state.mp_capacity
+    N = state.kf_uv.shape[1]
+    O = state.mp_obs_kf.shape[1]
+    live = mask & (winner != loser) & (winner >= 0) & (loser >= 0)
+    lid = jnp.where(live, loser, M)
+    lcl = jnp.clip(lid, 0, M - 1)
+    wcl = jnp.clip(jnp.where(live, winner, M), 0, M - 1)
+    lo_kf = jnp.where(live[:, None], state.mp_obs_kf[lcl], -1)   # [B, O]
+    lo_feat = state.mp_obs_feat[lcl]
+    wo_kf = state.mp_obs_kf[wcl]                                 # [B, O]
+
+    # duplicate check: does the winner already observe this keyframe?
+    dup = jnp.any(
+        (lo_kf[:, :, None] == wo_kf[:, None, :]) & (wo_kf[:, None, :] >= 0), axis=-1
+    )
+    valid_o = lo_kf >= 0
+    transfer = valid_o & ~dup
+
+    # repoint non-duplicate slots to the winner; clear duplicate slots
+    winner_b = jnp.broadcast_to(winner[:, None], lo_kf.shape)
+    new_slot_val = jnp.where(transfer, winner_b, -1)
+    flat_kf = jnp.where(valid_o, lo_kf, K).reshape(-1)
+    flat_feat = jnp.clip(lo_feat, 0, N - 1).reshape(-1)
+    kf_mp_idx = state.kf_mp_idx.at[flat_kf, flat_feat].set(
+        new_slot_val.reshape(-1), mode="drop"
+    )
+
+    # append transferred observations to the winner's list
+    n_w = state.mp_n_obs[wcl]                                     # [B]
+    pos = jnp.cumsum(transfer.astype(jnp.int32), axis=1) - 1      # [B, O]
+    slot = n_w[:, None] + pos
+    keep = transfer & (slot < O)
+    w_idx = jnp.where(keep, winner_b, M)
+    s_idx = jnp.clip(slot, 0, O - 1)
+    mp_obs_kf = state.mp_obs_kf.at[w_idx, s_idx].set(
+        jnp.where(keep, lo_kf, -1), mode="drop"
+    )
+    mp_obs_feat = state.mp_obs_feat.at[w_idx, s_idx].set(
+        jnp.where(keep, lo_feat, -1), mode="drop"
+    )
+    wid = jnp.where(live, winner, M)
+    mp_n_obs = state.mp_n_obs.at[wid].add(
+        jnp.sum(keep.astype(jnp.int32), axis=1), mode="drop"
+    )
+
+    # clear + invalidate the loser
+    mp_obs_kf = mp_obs_kf.at[lid].set(-1, mode="drop")
+    mp_obs_feat = mp_obs_feat.at[lid].set(-1, mode="drop")
+    mp_n_obs = mp_n_obs.at[lid].set(0, mode="drop")
+    mp_valid = state.mp_valid.at[lid].set(False, mode="drop")
+    mp_visible = state.mp_visible.at[wid].add(state.mp_visible[lcl], mode="drop")
+    mp_found = state.mp_found.at[wid].add(state.mp_found[lcl], mode="drop")
+    return state._replace(
+        kf_mp_idx=kf_mp_idx, mp_valid=mp_valid,
+        mp_obs_kf=mp_obs_kf, mp_obs_feat=mp_obs_feat, mp_n_obs=mp_n_obs,
+        mp_visible=mp_visible, mp_found=mp_found,
+    )
+
+
 def _distill_descriptors(state: MapState, mp_ids: jnp.ndarray) -> MapState:
     """Recompute the representative descriptor for the given map points:
     the observation descriptor with minimal median hamming distance to the

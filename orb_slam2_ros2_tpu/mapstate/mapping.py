@@ -24,7 +24,14 @@ import jax.numpy as jnp
 from ..geometry import se3, triangulate as tri
 from ..geometry.camera import CameraParams, project
 from ..ops.hamming import hamming_matrix
-from .map_state import MapState, _append_observations, _covis_row_for_kf, _distill_descriptors, _update_normals_and_depth
+from .map_state import (
+    MapState,
+    _append_observations,
+    _covis_row_for_kf,
+    _distill_descriptors,
+    _update_normals_and_depth,
+    merge_mappoints,
+)
 
 
 def _fundamental_from_poses(cam: CameraParams, Tcw1: jnp.ndarray, Tcw2: jnp.ndarray) -> jnp.ndarray:
@@ -331,17 +338,45 @@ def fuse_into_keyframe(
     (reference MapPoint::replace semantics, MapPoint.cc:213-233) — here the
     loser is invalidated and its slots are repointed.
     """
+    # candidate set: map points of the 2-ring neighbourhood (bounded)
+    from .local_map import local_map_snapshot
+
+    local = local_map_snapshot(state, kf_id, n_first=10, n_second=5, max_kfs=32, max_mps=max_fuse)
+    return fuse_candidates_into_keyframe(
+        state, kf_id, cam, local,
+        width=width, height=height, scale_factor=scale_factor,
+        n_levels=n_levels, th=th, max_dist=max_dist, ratio=0.6,
+    )
+
+
+def fuse_candidates_into_keyframe(
+    state: MapState,
+    kf_id,
+    cam: CameraParams,
+    local,
+    *,
+    width: int,
+    height: int,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    th: float = 3.0,
+    max_dist: int = 50,
+    ratio: float = 0.6,
+    loop_priority: bool = False,
+) -> MapState:
+    """Fuse an explicit candidate set (a ``LocalMap`` snapshot) into ``kf_id``.
+
+    ``loop_priority=True`` reproduces the loop-closing fuse variant
+    (ORBMatcher::fuse called with bLoop=true at LoopClosing.cc:515-517,
+    processFuseMps :640-648): the projected loop-group point always wins the
+    merge; otherwise the better-observed point wins (local-mapping fuse).
+    """
     from ..matching.matcher import search_mappoints_projection
     from ..features.frame import FrameFeatures
 
     K = state.kf_capacity
     N = state.kf_uv.shape[1]
     M = state.mp_capacity
-
-    # candidate set: map points of the 2-ring neighbourhood (bounded)
-    from .local_map import local_map_snapshot
-
-    local = local_map_snapshot(state, kf_id, n_first=10, n_second=5, max_kfs=32, max_mps=max_fuse)
 
     feats = FrameFeatures(
         uv=state.kf_uv[kf_id],
@@ -362,7 +397,7 @@ def fuse_into_keyframe(
         local.pos, local.normal, local.min_dist, local.max_dist, local.desc,
         cand_valid, feats, jnp.zeros((N,), bool),
         th=th, width=width, height=height, scale_factor=scale_factor,
-        n_levels=n_levels, max_dist=max_dist, ratio=0.6, exclude_taken=False,
+        n_levels=n_levels, max_dist=max_dist, ratio=ratio, exclude_taken=False,
     )
     # per-local-mp match into this KF
     found = m.idx >= 0
@@ -379,25 +414,18 @@ def fuse_into_keyframe(
     )
     st = _append_observations(st, kf_id, mp_new, fj, attach)
 
-    # case B: slot occupied by another point → merge into the better-observed
+    # case B: slot occupied by another point → merge; the loop variant keeps
+    # the projected loop-group point, local mapping keeps the better-observed
     merge = found & (mp_old >= 0) & (mp_old != mp_new)
-    n_new = st.mp_n_obs[jnp.clip(mp_new, 0, M - 1)]
-    n_old = st.mp_n_obs[jnp.clip(mp_old, 0, M - 1)]
-    winner = jnp.where(n_new >= n_old, mp_new, mp_old)
-    loser = jnp.where(n_new >= n_old, mp_old, mp_new)
-    # repoint every observation slot of the loser to the winner
-    lid = jnp.where(merge, loser, M)
-    lcl = jnp.clip(lid, 0, M - 1)
-    lo_kf = jnp.where(merge[:, None], st.mp_obs_kf[lcl], -1)
-    lo_feat = st.mp_obs_feat[lcl]
-    flat_kf = jnp.where(lo_kf >= 0, lo_kf, K).reshape(-1)
-    flat_feat = jnp.clip(lo_feat, 0, N - 1).reshape(-1)
-    winner_b = jnp.broadcast_to(winner[:, None], lo_kf.shape).reshape(-1)
-    kf_mp_idx = st.kf_mp_idx.at[flat_kf, flat_feat].set(winner_b, mode="drop")
-    mp_valid = st.mp_valid.at[lid].set(False, mode="drop")
-    st = st._replace(kf_mp_idx=kf_mp_idx, mp_valid=mp_valid)
-    # NOTE: the winner's observation list is NOT extended with the loser's
-    # slots (bounded capacity); covisibility recount below restores weights.
+    if loop_priority:
+        win_new = jnp.ones_like(merge)
+    else:
+        n_new = st.mp_n_obs[jnp.clip(mp_new, 0, M - 1)]
+        n_old = st.mp_n_obs[jnp.clip(mp_old, 0, M - 1)]
+        win_new = n_new >= n_old
+    winner = jnp.where(win_new, mp_new, mp_old)
+    loser = jnp.where(win_new, mp_old, mp_new)
+    st = merge_mappoints(st, winner, loser, merge)
 
     touched = jnp.where(found, mp_new, -1)
     st = _distill_descriptors(st, touched)

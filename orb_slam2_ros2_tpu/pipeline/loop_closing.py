@@ -24,12 +24,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bow.keyframe_db import KeyFrameDB, find_loop_candidates
-from ..bow.vocabulary import Vocabulary, bow_vector, transform
+from ..bow.keyframe_db import KeyFrameDB, find_loop_candidates, sparse_bow
+from ..bow.vocabulary import Vocabulary, transform
 from ..config import SLAMConfig
 from ..geometry import se3, sim3
-from ..geometry.camera import CameraParams, unproject
-from ..mapstate.map_state import MapState, _covis_row_for_kf
+from ..geometry.camera import CameraParams, project, unproject
+from ..mapstate.local_map import LocalMap
+from ..mapstate.map_state import (
+    MapState,
+    _append_observations,
+    _covis_row_for_kf,
+    _distill_descriptors,
+    merge_mappoints,
+)
+from ..matching.matcher import best_match, mutual_filter
 from ..ops.hamming import hamming_matrix
 from ..solvers.global_ba import global_ba
 from ..solvers.pose_graph import (
@@ -79,24 +87,326 @@ def match_mappoint_features(
     return ok, bj, pc1, pc2, oct1, oct2, mp1, mp2
 
 
+def _predict_level(max_dist, d, scale_factor: float, n_levels: int):
+    """MapPoint::predictLevel (reference MapPoint.cc:191-201)."""
+    lvl = jnp.ceil(
+        jnp.log(jnp.maximum(max_dist / jnp.maximum(d, 1e-9), 1e-9))
+        / jnp.log(scale_factor)
+    ).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)
+
+
+def search_by_sim3_pair(
+    state: MapState,
+    cam: CameraParams,
+    kf_cur,
+    kf_cand,
+    S12: sim3.Sim3,
+    ok: jnp.ndarray,
+    bj: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    scale_factor: float,
+    n_levels: int,
+    th: float = 7.5,
+    max_dist: int = 50,
+    ratio: float = 0.75,
+):
+    """Sim3-guided bidirectional projection matching between two keyframes —
+    the missing ``searchBySim3`` (reference ORBMatcher.cc:425-484 with the
+    per-point SIM3Project at :370-412): project each side's map points into
+    the other camera through the candidate Sim3, search MP-bearing features
+    in a ``th``-radius window around the prediction, and ADD matches on top
+    of the existing (ok, bj) set.  Existing matches always win; forward
+    (cur→cand) additions beat backward ones, mirroring the reference's
+    map-insert precedence (ORBMatcher.cc:476-481).
+
+    Returns (ok2, bj2, n_matches).
+    """
+    N = state.kf_uv.shape[1]
+    M = state.mp_capacity
+    BIG = 1 << 20
+
+    mp1 = state.kf_mp_idx[kf_cur]
+    mp2 = state.kf_mp_idx[kf_cand]
+    has1 = state.kf_feat_valid[kf_cur] & (mp1 >= 0) & state.mp_valid[jnp.clip(mp1, 0, M - 1)]
+    has2 = state.kf_feat_valid[kf_cand] & (mp2 >= 0) & state.mp_valid[jnp.clip(mp2, 0, M - 1)]
+    pw1 = state.mp_pos[jnp.clip(mp1, 0, M - 1)]
+    pw2 = state.mp_pos[jnp.clip(mp2, 0, M - 1)]
+    pc1 = se3.apply(state.kf_Tcw[kf_cur], pw1)
+    pc2 = se3.apply(state.kf_Tcw[kf_cand], pw2)
+    minD1 = state.mp_min_dist[jnp.clip(mp1, 0, M - 1)]
+    maxD1 = state.mp_max_dist[jnp.clip(mp1, 0, M - 1)]
+    minD2 = state.mp_min_dist[jnp.clip(mp2, 0, M - 1)]
+    maxD2 = state.mp_max_dist[jnp.clip(mp2, 0, M - 1)]
+
+    D = hamming_matrix(state.kf_desc[kf_cur], state.kf_desc[kf_cand])
+
+    # already-matched flags on both sides (goodflagC/goodflagM)
+    matched2 = jnp.zeros((N,), bool).at[jnp.where(ok, bj, N)].set(True, mode="drop")
+
+    def one_direction(p_src_cam, S_to_other, src_free, src_minD, src_maxD,
+                      tgt_uv, tgt_oct, tgt_has_mp, dist_matrix):
+        """Project source-camera points through S_to_other into the target
+        camera and match against the target's MP-bearing features."""
+        p_t = sim3.apply(S_to_other, p_src_cam)            # [N, 3] (scaled)
+        uv_t, in_front = project(cam, p_t)
+        in_img = (
+            (uv_t[:, 0] >= 0) & (uv_t[:, 0] < width)
+            & (uv_t[:, 1] >= 0) & (uv_t[:, 1] < height)
+        )
+        d = jnp.linalg.norm(p_t, axis=-1) / S_to_other.s   # world-scale distance
+        dist_ok = (d >= 0.8 * src_minD) & (d <= 1.2 * src_maxD)
+        lvl = _predict_level(src_maxD, d, scale_factor, n_levels)
+        r = th * jnp.power(jnp.float32(scale_factor), lvl.astype(jnp.float32))
+        du = jnp.abs(uv_t[:, None, 0] - tgt_uv[None, :, 0])
+        dv = jnp.abs(uv_t[:, None, 1] - tgt_uv[None, :, 1])
+        in_area = (du <= r[:, None]) & (dv <= r[:, None])
+        oct_ok = (tgt_oct[None, :] >= (lvl - 1)[:, None]) & (
+            tgt_oct[None, :] <= (lvl + 1)[:, None]
+        )
+        q_ok = src_free & in_front & in_img & dist_ok
+        cand = in_area & oct_ok & tgt_has_mp[None, :] & q_ok[:, None]
+        return best_match(dist_matrix, cand, max_dist, ratio)
+
+    # forward: cur's unmatched MPs → cand frame (Smc = S12⁻¹)
+    S_mc = sim3.inverse(S12)
+    fwd = one_direction(
+        pc1, S_mc, has1 & ~ok, minD1, maxD1,
+        state.kf_uv[kf_cand], state.kf_octave[kf_cand], has2, D,
+    )
+    # backward: cand's unmatched MPs → cur frame (S12)
+    bwd = one_direction(
+        pc2, S12, has2 & ~matched2, minD2, maxD2,
+        state.kf_uv[kf_cur], state.kf_octave[kf_cur], has1, D.T,
+    )
+
+    # merge with precedence existing > forward > backward
+    ok2 = ok
+    bj2 = jnp.where(ok, bj, -1)
+    fill_f = ~ok2 & fwd.found
+    bj2 = jnp.where(fill_f, fwd.idx, bj2)
+    ok2 = ok2 | fill_f
+    # backward: per-cur-feature pick the claiming cand feature with min dist
+    brow = jnp.where(bwd.found, bwd.idx, N)                # cur feature claimed
+    key = jnp.minimum(bwd.dist, 300) * (N + 1) + jnp.arange(N)
+    best_key = jnp.full((N + 1,), jnp.iinfo(jnp.int32).max).at[brow].min(key)
+    claimed = best_key[:N] < jnp.iinfo(jnp.int32).max
+    claim_j = best_key[:N] % (N + 1)
+    fill_b = ~ok2 & claimed
+    bj2 = jnp.where(fill_b, claim_j, bj2)
+    ok2 = ok2 | fill_b
+    return ok2, jnp.where(ok2, bj2, -1), jnp.sum(ok2.astype(jnp.int32))
+
+
+def gather_match_pairs(state: MapState, kf_cur, kf_cand, ok, bj):
+    """Camera-frame point pairs + octaves for a per-cur-feature match set
+    (the inputs Sim3 RANSAC / OptimizeSim3 consume)."""
+    M = state.mp_capacity
+    bjc = jnp.clip(bj, 0, state.kf_uv.shape[1] - 1)
+    mp1 = state.kf_mp_idx[kf_cur]
+    mp2 = state.kf_mp_idx[kf_cand][bjc]
+    p1w = state.mp_pos[jnp.clip(mp1, 0, M - 1)]
+    p2w = state.mp_pos[jnp.clip(mp2, 0, M - 1)]
+    pc1 = se3.apply(state.kf_Tcw[kf_cur], p1w)
+    pc2 = se3.apply(state.kf_Tcw[kf_cand], p2w)
+    ok = ok & (pc1[:, 2] > 0) & (pc2[:, 2] > 0) & (mp1 >= 0) & (mp2 >= 0)
+    oct1 = state.kf_octave[kf_cur]
+    oct2 = state.kf_octave[kf_cand][bjc]
+    return ok, pc1, pc2, oct1, oct2, mp2
+
+
+def loop_group_snapshot(state: MapState, kf_cand, *, min_covis_weight: int, max_mps: int) -> LocalMap:
+    """Bounded snapshot of the loop group's map points: the candidate KF's
+    covisibility group (getConnectedKfs at LoopClosing.cc:381-401) and every
+    map point they observe."""
+    K = state.kf_capacity
+    M = state.mp_capacity
+    kf_mask = (state.covis[kf_cand] >= min_covis_weight) & state.kf_valid
+    kf_mask = kf_mask.at[kf_cand].set(state.kf_valid[kf_cand])
+
+    rows = jnp.where(kf_mask[:, None], state.kf_mp_idx, -1)  # [K, N]
+    mp_mask = jnp.zeros((M,), bool)
+    mp_mask = mp_mask.at[jnp.where(rows >= 0, rows, M).reshape(-1)].set(True, mode="drop")
+    mp_mask = mp_mask & state.mp_valid
+
+    score = jnp.where(mp_mask, 1 + jnp.arange(M, dtype=jnp.int32), 0)
+    top, mp_ids = jax.lax.top_k(score, min(max_mps, M))
+    okm = top > 0
+    mp_ids = jnp.where(okm, mp_ids, -1)
+    idc = jnp.clip(mp_ids, 0, M - 1)
+    return LocalMap(
+        mp_ids=mp_ids,
+        pos=state.mp_pos[idc],
+        normal=state.mp_normal[idc],
+        desc=state.mp_desc[idc],
+        min_dist=state.mp_min_dist[idc],
+        max_dist=state.mp_max_dist[idc],
+        valid=okm,
+        kf_ids=jnp.zeros((1,), jnp.int32),
+        kf_mask=kf_mask,
+    )
+
+
+def search_loop_group_projection(
+    state: MapState,
+    cam: CameraParams,
+    kf_cur,
+    S_cw: sim3.Sim3,
+    group: LocalMap,
+    matched_mp: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    scale_factor: float,
+    n_levels: int,
+    th: float = 10.0,
+    max_dist: int = 50,
+    ratio: float = 0.75,
+):
+    """Project the loop group's map points into the current keyframe through
+    the optimized Scw — the second ``searchBySim3`` variant (reference
+    ORBMatcher.cc:501-549): distance/view-angle/level gates, ``th``-radius
+    window over ALL current features (fusion doesn't require the feature to
+    hold a map point), hamming ≤ 50 + ratio.  Updates the per-feature
+    matched-map-point table and returns (matched_mp', n_total)."""
+    N = state.kf_uv.shape[1]
+    M = state.mp_capacity
+    L = group.mp_ids.shape[0]
+
+    already = jnp.zeros((M + 1,), bool).at[
+        jnp.where(matched_mp >= 0, matched_mp, M)
+    ].set(True, mode="drop")
+    fresh = group.valid & ~already[jnp.clip(group.mp_ids, 0, M - 1)]
+
+    p_c = sim3.apply(S_cw, group.pos)                   # [L, 3] scaled cam pts
+    uv_c, in_front = project(cam, p_c)
+    in_img = (
+        (uv_c[:, 0] >= 0) & (uv_c[:, 0] < width)
+        & (uv_c[:, 1] >= 0) & (uv_c[:, 1] < height)
+    )
+    dws = jnp.linalg.norm(p_c, axis=-1)
+    d = dws / S_cw.s
+    dist_ok = (d >= 0.8 * group.min_dist) & (d <= 1.2 * group.max_dist)
+    # view angle: rotate the stored normal into the camera and compare with
+    # the viewing ray (cos ≥ 0.5, ORBMatcher.cc:532-533)
+    n_c = jnp.einsum("ij,lj->li", S_cw.R, group.normal)
+    angle_ok = jnp.sum(n_c * p_c, axis=-1) >= 0.5 * dws
+    lvl = _predict_level(group.max_dist, d, scale_factor, n_levels)
+    r = th * jnp.power(jnp.float32(scale_factor), lvl.astype(jnp.float32))
+
+    cur_uv = state.kf_uv[kf_cur]
+    cur_oct = state.kf_octave[kf_cur]
+    du = jnp.abs(uv_c[:, None, 0] - cur_uv[None, :, 0])
+    dv = jnp.abs(uv_c[:, None, 1] - cur_uv[None, :, 1])
+    in_area = (du <= r[:, None]) & (dv <= r[:, None])
+    oct_ok = (cur_oct[None, :] >= (lvl - 1)[:, None]) & (cur_oct[None, :] <= (lvl + 1)[:, None])
+    q_ok = fresh & in_front & in_img & dist_ok & angle_ok
+    cand = in_area & oct_ok & state.kf_feat_valid[kf_cur][None, :] & q_ok[:, None]
+
+    Dm = hamming_matrix(group.desc, state.kf_desc[kf_cur])
+    m = best_match(Dm, cand, max_dist, ratio)
+    m = mutual_filter(m, N)                              # one MP per feature
+
+    tgt = jnp.where(m.found, m.idx, N)
+    matched_mp2 = matched_mp.at[tgt].set(group.mp_ids, mode="drop")
+    n = jnp.sum((matched_mp2 >= 0).astype(jnp.int32))
+    return matched_mp2, n
+
+
+def attach_matched_mps(state: MapState, kf_cur, matched_mp: jnp.ndarray) -> MapState:
+    """Fuse the Sim3-matched loop map points into the current keyframe
+    (reference correctLoop at LoopClosing.cc:497-513): empty feature slots
+    adopt the loop point; occupied slots merge, the current keyframe's own
+    point surviving (MapPoint::replace(pMpC, matched), :507)."""
+    N = state.kf_uv.shape[1]
+    M = state.mp_capacity
+    cur_mp = state.kf_mp_idx[kf_cur]
+    valid_m = (matched_mp >= 0) & state.mp_valid[jnp.clip(matched_mp, 0, M - 1)]
+
+    attach = valid_m & (cur_mp < 0) & state.kf_feat_valid[kf_cur]
+    feats = jnp.arange(N)
+    st = state._replace(
+        kf_mp_idx=state.kf_mp_idx.at[kf_cur, jnp.where(attach, feats, N)].set(
+            jnp.where(attach, matched_mp, -1), mode="drop"
+        )
+    )
+    st = _append_observations(st, kf_cur, matched_mp, feats, attach)
+
+    merge = valid_m & (cur_mp >= 0) & (cur_mp != matched_mp)
+    st = merge_mappoints(st, winner=cur_mp, loser=matched_mp, mask=merge)
+    st = _distill_descriptors(st, jnp.where(attach | merge, jnp.where(merge, cur_mp, matched_mp), -1))
+
+    row = _covis_row_for_kf(st, kf_cur)
+    covis = st.covis.at[kf_cur, :].set(row).at[:, kf_cur].set(row)
+    return st._replace(covis=covis)
+
+
+def fuse_group_into_kfs(
+    state: MapState,
+    cam: CameraParams,
+    group: LocalMap,
+    kf_ids: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    scale_factor: float,
+    n_levels: int,
+) -> MapState:
+    """Project the loop group's map points into each current-group keyframe
+    and fuse with loop priority (reference LoopClosing.cc:515-517:
+    matcher.fuse(pKf, mvLoopGroupMps, map, true, 4.0))."""
+    from ..mapstate.mapping import fuse_candidates_into_keyframe
+
+    def body(i, st):
+        kf = kf_ids[i]
+        return jax.lax.cond(
+            kf >= 0,
+            lambda s: fuse_candidates_into_keyframe(
+                s, jnp.maximum(kf, 0), cam, group,
+                width=width, height=height, scale_factor=scale_factor,
+                n_levels=n_levels, th=4.0, max_dist=50, ratio=0.8,
+                loop_priority=True,
+            ),
+            lambda s: s,
+            st,
+        )
+
+    return jax.lax.fori_loop(0, kf_ids.shape[0], body, state)
+
+
 class LoopCloser:
     """Host orchestrator of the loop-closing stages."""
 
     def __init__(self, cfg: SLAMConfig, vocab: Vocabulary):
         self.cfg = cfg
         self.vocab = vocab
-        self.db = KeyFrameDB.empty(cfg.map.max_keyframes, vocab.n_words)
+        self.db = KeyFrameDB.empty(cfg.map.max_keyframes, cfg.bow.max_words_per_query)
         # consistency chains: list of (covis-group set, consecutive count)
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_kf = -1
 
         self._transform = jax.jit(partial(transform, vocab))
-        self._bowvec = jax.jit(partial(bow_vector, vocab))
+        self._bowvec = jax.jit(partial(sparse_bow, vocab, max_words=cfg.bow.max_words_per_query))
         self._query = jax.jit(partial(find_loop_candidates, n_candidates=5,
+                                      n_words=vocab.n_words,
                                       min_covis_weight=cfg.mapping.min_covis_weight))
         self._match = jax.jit(partial(match_mappoint_features))
         self._pose_graph = jax.jit(partial(optimize_pose_graph, iters=20))
         o = cfg.orb
+        c = cfg.camera
+        geom = dict(width=c.width, height=c.height,
+                    scale_factor=o.scale_factor, n_levels=o.n_levels)
+        self._sim3_expand = jax.jit(partial(search_by_sim3_pair, th=7.5, **geom))
+        self._gather_pairs = jax.jit(gather_match_pairs)
+        self._group_snap = jax.jit(partial(
+            loop_group_snapshot,
+            min_covis_weight=cfg.mapping.min_covis_weight, max_mps=8192,
+        ))
+        self._group_proj = jax.jit(partial(search_loop_group_projection, th=10.0, **geom))
+        self._attach = jax.jit(attach_matched_mps)
+        self._fuse_group = jax.jit(partial(fuse_group_into_kfs, **geom))
         self._inv_sigma2 = lambda oct: jnp.power(
             jnp.float32(1.0 / (o.scale_factor**2)), oct.astype(jnp.float32)
         )
@@ -145,9 +455,14 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def compute_sim3(
         self, state: MapState, cam: CameraParams, kf_cur: int, kf_cand: int, key
-    ) -> Optional[sim3.Sim3]:
-        """BoW match → Sim3 RANSAC → GN → acceptance gates
-        (LoopClosing.cc:300-415).  Returns S12 (cand-cam → cur-cam) or None."""
+    ):
+        """The full Sim3 verification cascade (LoopClosing.cc:300-415):
+        descriptor match ≥20 → Sim3 RANSAC → searchBySim3 expansion ≥50 →
+        OptimizeSim3 >50 inliers → loop-group projection ≥40.
+
+        Returns (S12, matched_mp, group) with S12 mapping cand-cam → cur-cam,
+        ``matched_mp`` the per-current-feature loop map point, and ``group``
+        the loop-group snapshot for the correction fuse — or None."""
         lc = self.cfg.loop
         ok, bj, pc1, pc2, oct1, oct2, _, _ = self._match(state, kf_cur, kf_cand)
         n_matches = int(jnp.sum(ok.astype(jnp.int32)))
@@ -162,13 +477,32 @@ class LoopCloser:
         )
         if int(n_in) < lc.min_sim3_inliers:
             return None
+
+        # Sim3-guided match expansion ≥50 (LoopClosing.cc:367-369)
+        ok, bj, n_exp = self._sim3_expand(state, cam, kf_cur, kf_cand, S12, ok, bj)
+        if int(n_exp) < lc.min_expanded_matches:
+            return None
+        ok, pc1, pc2, oct1, oct2, mp2 = self._gather_pairs(state, kf_cur, kf_cand, ok, bj)
+        iv1 = self._inv_sigma2(oct1)
+        iv2 = self._inv_sigma2(oct2)
         S12, inl2, n_in2 = optimize_sim3(
             S12, pc1, pc2, ok, cam, iv1, iv2, fix_scale=fix_scale,
             chi2_th=self.cfg.ba.chi2_sim3,
         )
         if int(n_in2) < lc.min_sim3_opt_inliers:
             return None
-        return S12
+
+        # loop-group projection check ≥40 (LoopClosing.cc:410-412):
+        # matched table seeded from the optimizer's inliers, then expanded by
+        # projecting the whole loop group through Scw = S12 ∘ S_cand_w
+        matched_mp = jnp.where(ok & inl2, mp2, -1)
+        group = self._group_snap(state, kf_cand)
+        S_cand = sim3.from_se3(state.kf_Tcw[kf_cand])
+        S_cw = sim3.compose(S12, S_cand)
+        matched_mp, n_total = self._group_proj(state, cam, kf_cur, S_cw, group, matched_mp)
+        if int(n_total) < lc.min_group_proj_matches:
+            return None
+        return S12, matched_mp, group
 
     # ------------------------------------------------------------------
     def correct(
@@ -178,49 +512,70 @@ class LoopCloser:
         kf_cur: int,
         kf_cand: int,
         S12: sim3.Sim3,
+        matched_mp: jnp.ndarray,
+        group: LocalMap,
         *,
         run_gba: bool = True,
         mesh=None,
     ) -> MapState:
-        """Loop correction + essential-graph optimization + global BA
-        (LoopClosing.cc:432-541)."""
-        state = correct_loop(
-            state, cam, kf_cur, kf_cand, S12,
-            min_covis_weight=self.cfg.mapping.min_covis_weight,
+        """Loop correction: group pose/point propagation, matched-MP fuse,
+        loop-group fuse into the current neighbourhood, essential-graph
+        optimization, global BA (LoopClosing.cc:432-541)."""
+        mw = self.cfg.mapping.min_covis_weight
+        pre_conn = state.covis > 0
+
+        state, S_nc, group_mask = correct_group(
+            state, kf_cur, kf_cand, S12, min_covis_weight=mw,
+        )
+        # fuse pass A: Sim3-matched loop points into the current keyframe
+        state = self._attach(state, kf_cur, matched_mp)
+        # fuse pass B: the loop group's points into the current covis group
+        # (top neighbours by weight; reference iterates all connected KFs)
+        w = np.asarray(state.covis[kf_cur])
+        ids = np.argsort(-w)[:16]
+        ids = ids[w[ids] >= mw]
+        kf_ids = jnp.asarray(
+            np.pad(ids.astype(np.int32), (0, 16 - len(ids)), constant_values=-1)
+        )
+        state = self._fuse_group(state, cam, group, kf_ids)
+
+        state = optimize_essential(
+            state, kf_cur, kf_cand, S12, S_nc, group_mask, pre_conn,
             essential_weight=self.cfg.loop.essential_graph_weight,
             pose_graph_fn=self._pose_graph,
         )
         if run_gba:
             state = global_ba(
                 state, cam, scale_factor=self.cfg.orb.scale_factor,
-                phase_iters=(3, 3), pcg_iters=self.cfg.ba.pcg_iters, mesh=mesh,
+                phase_iters=tuple(self.cfg.loop.global_ba_phase_iters),
+                pcg_iters=self.cfg.ba.pcg_iters, mesh=mesh,
             )
         self.last_loop_kf = kf_cur
         self.consistent_groups = []
         return state
 
 
-def correct_loop(
+@partial(jax.jit, static_argnames=("min_covis_weight",))
+def correct_group(
     state: MapState,
-    cam: CameraParams,
-    kf_cur: int,
-    kf_cand: int,
+    kf_cur,
+    kf_cand,
     S12: sim3.Sim3,
     *,
     min_covis_weight: int,
-    essential_weight: int,
-    pose_graph_fn,
-    max_edges: int = 8192,
-) -> MapState:
-    """Pose/point correction + essential graph (jit-friendly pieces).
+) -> Tuple[MapState, sim3.Sim3, jnp.ndarray]:
+    """Pose/point correction of the current covisibility group.
 
     The corrected pose of the current keyframe is S_cw^corr = S12 ∘ T_cand_w
     composed with scale-aware algebra (LoopClosing.cc:458-513); the current
     covisibility group is dragged along via its relative poses, and every map
     point observed by the group is remapped via S_new_wc ∘ S_old_cw.
+
+    Returns (state, S_nc, group_mask) where ``S_nc`` holds the NON-corrected
+    Sim3 poses of every keyframe (the reference's NonCorrectedSim3 — the
+    essential graph measures its drift edges from these).
     """
     K = state.kf_capacity
-    M = state.mp_capacity
 
     # --- corrected Sim3 pose of the current KF ---------------------------
     S_cand = sim3.from_se3(state.kf_Tcw[kf_cand])
@@ -256,22 +611,67 @@ def correct_loop(
     # guard full list: when no slot is free, drop the edge instead of
     # overwriting slot 0 (argmax of all-False is 0)
     slot = jnp.where(jnp.any(free_slots), jnp.argmax(free_slots), state.loop_edges.shape[0])
-    loop_edges = state.loop_edges.at[slot].set(jnp.asarray([kf_cur, kf_cand]), mode="drop")
-    state = state._replace(loop_edges=loop_edges)
-
-    # --- essential graph ---------------------------------------------------
-    # Edge measurements MUST come from the PRE-correction poses (`S_all`,
-    # captured above before kf_Tcw_new was applied) — the reference's
-    # NonCorrectedSim3 (Optimizer.cc OptimizeEssentialGraph).  Vertices start
-    # at the corrected poses; measuring from the corrected poses instead
-    # would make every residual identically zero and the optimization a no-op.
-    S_now = sim3.from_se3(state.kf_Tcw)
-    ei, ej, ew = collect_essential_edges(
-        state, essential_weight, max_edges
+    loop_edges = state.loop_edges.at[slot].set(
+        jnp.stack([jnp.asarray(kf_cur), jnp.asarray(kf_cand)]), mode="drop"
     )
-    S_meas = make_relative_measurements(S_all, jnp.maximum(ei, 0), jnp.maximum(ej, 0))
+    state = state._replace(loop_edges=loop_edges)
+    return state, S_all, group_mask
+
+
+def optimize_essential(
+    state: MapState,
+    kf_cur,
+    kf_cand,
+    S12: sim3.Sim3,
+    S_nc: sim3.Sim3,
+    group_mask: jnp.ndarray,
+    pre_conn: jnp.ndarray,
+    *,
+    essential_weight: int,
+    pose_graph_fn,
+    max_edges: int = 8192,
+    max_new_conn: int = 256,
+) -> MapState:
+    """Essential-graph optimization after correction + fuse.
+
+    Drift edges (spanning tree ∪ loop edges ∪ covis ≥ 100) are measured from
+    the PRE-correction poses ``S_nc`` — the reference's NonCorrectedSim3
+    (Optimizer.cc:836-877); measuring from the corrected poses would make
+    every residual identically zero and the optimization a no-op.  The NEW
+    cross-loop connections created by the fuse (not connected before the
+    correction, weight ≥ 100 now) are measured from the corrected vertex
+    poses (Optimizer.cc:804-833) so they hold the loop closed while the
+    drift relaxes through the rest of the graph.
+    """
+    K = state.kf_capacity
+
+    S_now = sim3.from_se3(state.kf_Tcw)            # corrected vertex init
+    ei, ej, ew = collect_essential_edges(
+        state, essential_weight, max_edges - max_new_conn
+    )
+    S_meas = make_relative_measurements(S_nc, jnp.maximum(ei, 0), jnp.maximum(ej, 0))
+
+    # --- new loop connections: group KF ↔ outside, unconnected pre-fuse ----
+    new_mask = (
+        group_mask[:, None] & ~group_mask[None, :] & ~pre_conn
+        & (state.covis >= essential_weight)
+        & state.kf_valid[:, None] & state.kf_valid[None, :]
+    )
+    flat_w = jnp.where(new_mask, state.covis, 0).reshape(-1)
+    topw, topi = jax.lax.top_k(flat_w, max_new_conn)
+    ni = jnp.where(topw > 0, topi // K, -1)
+    nj = jnp.where(topw > 0, topi % K, -1)
+    S_meas_new = make_relative_measurements(S_now, jnp.maximum(ni, 0), jnp.maximum(nj, 0))
+
+    ei = jnp.concatenate([ei, ni])
+    ej = jnp.concatenate([ej, nj])
+    ew = jnp.concatenate([ew, jnp.ones_like(ni, jnp.float32)])
+    S_meas = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b]), S_meas, S_meas_new
+    )
+
     # the loop edge gets its measured constraint S12: S_cur←cand
-    # appended at a reserved slot (last): e = (cand → cur) with S12 relative
+    # appended at the reserved slot (last): e = (cand → cur) with S12 relative
     ei = ei.at[-1].set(kf_cand)
     ej = ej.at[-1].set(kf_cur)
     S_meas = sim3.Sim3(
@@ -292,8 +692,7 @@ def correct_loop(
     # commit: poses back to SE3 (divide translation by scale), points corrected
     # via S_wc_new ∘ S_cw_old (Optimizer.cc:898-918)
     obs0_kf2 = jnp.clip(state.mp_obs_kf[:, 0], 0, K - 1)
-    S_old_all = S_now
-    S_old_o2 = jax.tree.map(lambda a: a[obs0_kf2], S_old_all)
+    S_old_o2 = jax.tree.map(lambda a: a[obs0_kf2], S_now)
     S_new_o2 = jax.tree.map(lambda a: a[obs0_kf2], S_opt)
     p_cam2 = sim3.apply(S_old_o2, state.mp_pos)
     p_new2 = sim3.apply(sim3.inverse(S_new_o2), p_cam2)

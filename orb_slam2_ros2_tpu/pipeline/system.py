@@ -75,6 +75,9 @@ def slam_track_step(
     chi2_mono: float,
     chi2_stereo: float,
     depth_threshold: float,
+    min_motion_matches: int,
+    pose_rounds: int = 4,
+    pose_iters: int = 6,
 ):
     """One full tracking step (motion model + local map).
 
@@ -100,10 +103,33 @@ def slam_track_step(
 
     twc_cur = se3.t_of(se3.inverse(Tcw_pred))
     z_forward = se3.apply(last.Tcw, twc_cur[None])[0, 2]
-    m1 = matcher.search_by_area(
-        last.frame.feats, prev_usable, cur.feats, jnp.zeros((N,), bool), z_forward,
-        radius=radius, scale_factor=scale_factor, n_levels=n_levels,
-        baseline=baseline, max_dist=max_dist, ratio=ratio_track,
+
+    # motion search at radius r, widened to 2r when matches run short — the
+    # reference's r=15→30 retry (Tracking.cc:388-391).  The hamming matrix is
+    # hoisted out so the retry branch only redoes the cheap geometry masks.
+    from ..ops.hamming import hamming_matrix
+
+    prev_feats = last.frame.feats
+    lo, hi = matcher.forward_backward_octaves(prev_feats.octave, z_forward, baseline, n_levels)
+    dist1 = hamming_matrix(prev_feats.desc, cur.feats.desc)
+
+    def _motion_match(r):
+        cand = matcher.area_candidates(
+            prev_feats.uv, prev_feats.octave, cur.feats, r, lo, hi, scale_factor
+        )
+        cand = cand & prev_feats.valid[:, None] & prev_usable[:, None]
+        m = matcher.best_match(dist1, cand, max_dist, ratio_track)
+        keep = matcher.rotation_consistency(
+            prev_feats.angle, cur.feats.angle[jnp.maximum(m.idx, 0)], m.found
+        )
+        m = matcher.MatchResult(idx=jnp.where(keep, m.idx, -1), dist=m.dist)
+        return matcher.mutual_filter(m, N)
+
+    m1 = _motion_match(jnp.float32(radius))
+    m1 = jax.lax.cond(
+        jnp.sum(m1.found.astype(jnp.int32)) < min_motion_matches,
+        lambda: _motion_match(jnp.float32(radius * 2)),
+        lambda: m1,
     )
     c1 = jnp.maximum(m1.idx, 0)
     obs1 = PoseObs(
@@ -114,7 +140,10 @@ def slam_track_step(
         is_stereo=cur.right_u[c1] > 0,
         valid=m1.found,
     )
-    Tcw1, inl1, n_in1 = optimize_pose(cam, Tcw_pred, obs1, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo)
+    Tcw1, inl1, n_in1 = optimize_pose(
+        cam, Tcw_pred, obs1, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+        rounds=pose_rounds, iters_per_round=pose_iters,
+    )
     n_m1 = jnp.sum(m1.found.astype(jnp.int32))
 
     # per-current-feature mp assignment inherited from the last frame
@@ -147,6 +176,10 @@ def slam_track_step(
     )
     visible = visible & local.valid
 
+    # local-map match count (trackLocalMap's nMatches ≥ 30 gate input,
+    # Tracking.cc:656): every feature carrying a map point before refinement
+    n_localmap = jnp.sum((cur_mp >= 0).astype(jnp.int32))
+
     # ---------- stage 3: pose refinement on the full map-point set --------
     has_mp = cur_mp >= 0
     mp_c = jnp.clip(cur_mp, 0, mp_pos.shape[0] - 1)
@@ -167,7 +200,10 @@ def slam_track_step(
         is_stereo=cur.right_u > 0,
         valid=obs_valid,
     )
-    Tcw2, inlier2, n_in2 = optimize_pose(cam, Tcw1, obs2, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo)
+    Tcw2, inlier2, n_in2 = optimize_pose(
+        cam, Tcw1, obs2, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+        rounds=pose_rounds, iters_per_round=pose_iters,
+    )
     n_tracked = jnp.sum((inlier2 & has_mp).astype(jnp.int32))
 
     # drop outlier map-point assignments (reference post-filter, Optimizer.cc:188-200)
@@ -189,12 +225,65 @@ def slam_track_step(
 
     velocity_new = Tcw2 @ se3.inverse(last.Tcw)
     new_state = SlamFrame(frame=cur, Tcw=Tcw2, mp_ids=cur_mp)
-    stats = dict(
-        n_motion_matches=n_m1, n_motion_inliers=n_in1,
-        n_tracked=n_tracked, n_inliers=n_in2,
-        n_close_tracked=n_close_tracked, n_close_untracked=n_close_untracked,
+    # one stacked stats vector → ONE device→host transfer per frame (each
+    # separate int() costs a tunnel round-trip); keys in STAT_KEYS order
+    stats_vec = jnp.stack([
+        n_m1, n_in1, n_localmap, n_tracked, n_in2,
+        n_close_tracked, n_close_untracked,
+    ]).astype(jnp.int32)
+    return new_state, velocity_new, Tcw2, stats_vec, visible, found_local
+
+
+STAT_KEYS = (
+    "n_motion_matches", "n_motion_inliers", "n_localmap_matches",
+    "n_tracked", "n_inliers", "n_close_tracked", "n_close_untracked",
+)
+
+
+def reloc_project_augment(
+    state: MapState,
+    cand,
+    cam: CameraParams,
+    frame: StereoFrame,
+    Tcw: jnp.ndarray,
+    cur_mp: jnp.ndarray,
+    *,
+    th: float,
+    width: int,
+    height: int,
+    scale_factor: float,
+    n_levels: int,
+    max_dist: int,
+    ratio: float,
+):
+    """Relocalization match augmentation — the reference's
+    ``searchByProjection(curFrame, candidateKF, th)`` inside addMatchByProject
+    (Tracking.cc:612-629): project the candidate keyframe's map points into
+    the current frame around the estimated pose and attach matches to
+    features not yet carrying a map point.  Returns (cur_mp', n_added)."""
+    M = state.mp_capacity
+    N = frame.feats.capacity
+    mp = state.kf_mp_idx[cand]
+    mpc = jnp.clip(mp, 0, M - 1)
+    valid = state.kf_feat_valid[cand] & (mp >= 0) & state.mp_valid[mpc]
+    # skip map points already matched to some feature
+    already = jnp.zeros((M + 1,), bool).at[
+        jnp.where(cur_mp >= 0, cur_mp, M)
+    ].set(True, mode="drop")
+    valid = valid & ~already[mpc]
+    m = matcher.search_mappoints_projection(
+        cam, Tcw,
+        state.mp_pos[mpc], state.mp_normal[mpc],
+        state.mp_min_dist[mpc], state.mp_max_dist[mpc], state.mp_desc[mpc],
+        valid, frame.feats, cur_mp >= 0,
+        th=th, width=width, height=height, scale_factor=scale_factor,
+        n_levels=n_levels, max_dist=max_dist, ratio=ratio,
     )
-    return new_state, velocity_new, Tcw2, stats, visible, found_local
+    c = jnp.clip(m.idx, 0, N - 1)
+    cur_mp2 = cur_mp.at[jnp.where(m.found, c, N)].set(
+        jnp.where(m.found, mp, -1), mode="drop"
+    )
+    return cur_mp2, jnp.sum(m.found.astype(jnp.int32))
 
 
 class SLAM:
@@ -210,16 +299,38 @@ class SLAM:
         self.loop_closer = None  # built lazily (vocabulary trains on first KF)
         o, c, m, t, b, mp = cfg.orb, cfg.camera, cfg.matcher, cfg.tracking, cfg.ba, cfg.mapping
         self._frontend = jax.jit(make_rgbd_frontend(cfg) if rgbd else make_stereo_frontend(cfg))
-        self._track = jax.jit(
-            partial(
-                slam_track_step,
-                radius=t.motion_search_radius, proj_th=3.0,
-                scale_factor=o.scale_factor, n_levels=o.n_levels,
-                baseline=c.baseline, width=c.width, height=c.height,
-                max_dist=m.min_threshold, ratio_track=m.nn_ratio_track,
-                chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
-                depth_threshold=c.baseline * t.th_depth,
+        # initialization frames use the (usually larger) nInitFeatures budget
+        # (reference ORBExtractor pair at Tracking.cc:19-43)
+        if cfg.orb.n_init_features != cfg.orb.n_features:
+            import dataclasses as _dc
+
+            icfg = cfg.replace(orb=_dc.replace(cfg.orb, n_features=cfg.orb.n_init_features))
+            self._frontend_init = jax.jit(
+                make_rgbd_frontend(icfg) if rgbd else make_stereo_frontend(icfg)
             )
+        else:
+            self._frontend_init = self._frontend
+        track_common = dict(
+            radius=t.motion_search_radius,
+            scale_factor=o.scale_factor, n_levels=o.n_levels,
+            baseline=c.baseline, width=c.width, height=c.height,
+            max_dist=m.min_threshold, ratio_track=m.nn_ratio_track,
+            chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+            depth_threshold=c.baseline * t.th_depth,
+            min_motion_matches=t.min_motion_matches,
+            pose_rounds=b.pose_rounds, pose_iters=b.pose_iters_per_round,
+        )
+        self._track = jax.jit(partial(slam_track_step, proj_th=3.0, **track_common))
+        # widened local-map search for the 2 frames after a relocalization
+        # (reference trackLocalMap th=5, Tracking.cc:646-648)
+        self._track_reloc = jax.jit(partial(slam_track_step, proj_th=5.0, **track_common))
+        aug_common = dict(
+            width=c.width, height=c.height, scale_factor=o.scale_factor,
+            n_levels=o.n_levels, max_dist=m.max_threshold, ratio=0.9,
+        )
+        self._reloc_aug_wide = jax.jit(partial(reloc_project_augment, th=10.0, **aug_common))
+        self._reloc_aug_narrow = jax.jit(
+            partial(reloc_project_augment, **{**aug_common, "max_dist": m.min_threshold}, th=3.0)
         )
         self._insert_kf = jax.jit(
             partial(
@@ -269,9 +380,18 @@ class SLAM:
                 max_points=b.local_ba_points,
                 chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
                 lam=b.lm_lambda_init, scale_factor=o.scale_factor,
+                phase_iters=tuple(b.local_ba_phase_iters),
             ),
             donate_argnums=(0,),
         )
+
+        # distributed global BA: shard landmark blocks over a device mesh when
+        # configured (SURVEY §5.8; the single-chip path pays no collective)
+        self.mesh = None
+        if cfg.dist.n_devices > 1:
+            from ..parallel.mesh import ba_mesh
+
+            self.mesh = ba_mesh(cfg.dist.n_devices, axis=cfg.dist.mesh_axis)
 
         self.map = empty_map(cfg)
         self.state = TrackState.NOT_IMAGE_YET
@@ -282,7 +402,16 @@ class SLAM:
         self.frames_since_kf = 0
         self.frame_id = 0
         self.ref_kf_tracked = 0
+        # frame id of the last successful relocalization (reference
+        # mnLastRelocId): widens the local-map search for 2 frames, raises the
+        # inlier bar to 50 and suppresses KF insertion for max_frames frames
+        self.last_reloc_fid = -(1 << 30)
         self.trajectory: list = []
+        # tracking ∥ mapping overlap state: host mirror of the KF count (no
+        # device sync) and the keyframe whose BA/loop tail is still pending
+        self._n_kf = 0
+        self._pending_kf: Optional[tuple] = None
+        self._kfs_since_ba = 0
         # §5.1 tracing: set True to record per-stage wall times (adds a sync
         # per stage; replaces the reference's EstimatePose ms logging,
         # System.h:55-61)
@@ -303,7 +432,9 @@ class SLAM:
 
     def track(self, img_left, img_right) -> Tuple[Optional[np.ndarray], dict]:
         """Feed one stereo pair (or RGB + depth map in rgbd mode)."""
-        frame = self._timed("frontend", self._frontend, img_left, img_right, self.cam)
+        initing = self.state in (TrackState.NOT_IMAGE_YET, TrackState.NOT_INITING)
+        fe = self._frontend_init if initing else self._frontend
+        frame = self._timed("frontend", fe, img_left, img_right, self.cam)
         fid = self.frame_id
         self.frame_id += 1
 
@@ -317,13 +448,25 @@ class SLAM:
         if self.state == TrackState.LOST:
             return self._relocalize(frame, fid)
 
-        new_state, velocity, Tcw, stats, visible, found = self._timed(
-            "track", self._track,
+        t = self.cfg.tracking
+        in_reloc_window = fid < self.last_reloc_fid + t.max_frames
+        track_fn = self._track_reloc if fid < self.last_reloc_fid + 2 else self._track
+        new_state, velocity, Tcw, stats_vec, visible, found = self._timed(
+            "track", track_fn,
             self.cam, frame, self.last, self.velocity, self.local,
             self.map.mp_pos, self.map.mp_valid,
         )
-        stats = {k: int(v) for k, v in stats.items()}
-        if stats["n_inliers"] < self.cfg.tracking.min_track_inliers:
+        stats = dict(zip(STAT_KEYS, np.asarray(stats_vec).tolist()))
+        # acceptance gates (trackLocalMap, Tracking.cc:656-674): ≥30 local-map
+        # matches, ≥30 inliers — ≥50 within max_frames of a relocalization
+        min_inliers = max(t.min_track_inliers, t.min_localmap_inliers)
+        if in_reloc_window:
+            min_inliers = t.min_localmap_inliers_reloc
+        weak = (
+            stats["n_inliers"] < min_inliers
+            or stats["n_localmap_matches"] < t.min_localmap_matches
+        )
+        if weak:
             # fallback: track against the reference keyframe (the reference's
             # trackReference, Tracking.cc:360-371) before declaring LOST
             ok = self._track_reference(frame, stats)
@@ -340,6 +483,10 @@ class SLAM:
 
         if self._need_keyframe(stats):
             self._insert_and_map(new_state, fid, stats)
+        elif self._pending_kf is not None:
+            # mapper idle: run the deferred BA/culling/loop tail
+            # (reference LocalMapping.cc:96-109)
+            self._run_deferred_mapping()
 
         pose = np.asarray(Tcw)
         self.trajectory.append((fid, pose))
@@ -355,6 +502,7 @@ class SLAM:
         no_mp = jnp.full((frame.feats.capacity,), -1, jnp.int32)
         self.map, kf_id = self._insert_kf(self.map, frame, Tcw, no_mp, fid, self.cam)
         self.ref_kf = int(kf_id)
+        self._n_kf = int(self.map.next_kf)
         self.local = self._snapshot(self.map, kf_id)
         mp_ids = self.map.kf_mp_idx[kf_id]
         self.last = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=mp_ids)
@@ -411,11 +559,13 @@ class SLAM:
 
     def _relocalize(self, frame: StereoFrame, fid: int):
         """Relocalization against the keyframe database (reference
-        Tracking::trackReLocalize, src/Tracking.cc:531-629): BoW candidates →
+        Tracking::trackReLocalize, src/Tracking.cc:531-598): BoW candidates →
         dense descriptor match to candidate keyframes' map points →
-        EPnP-RANSAC → pose-only optimization, accept at ≥50 inliers."""
-        from ..bow.keyframe_db import find_reloc_candidates
-        from ..bow.vocabulary import bow_vector, transform
+        EPnP-RANSAC → pose-only optimization → on 10..49 inliers, projection
+        augmentation rounds th=10 then th=3 (addMatchByProject,
+        Tracking.cc:612-629) — accept only at ≥50."""
+        from ..bow.keyframe_db import find_reloc_candidates, sparse_bow
+        from ..bow.vocabulary import transform
         from ..ops.hamming import hamming_matrix
         from ..solvers.epnp import ransac_pnp
 
@@ -423,11 +573,14 @@ class SLAM:
             return None, {"reloc": "no_vocab"}
         vocab = self.loop_closer.vocab
         words = transform(vocab, frame.feats.desc, frame.feats.valid)
-        qvec = bow_vector(vocab, words)
-        cand_ids, _ = find_reloc_candidates(self.loop_closer.db, self.map, qvec)
+        qvec = sparse_bow(vocab, words, self.cfg.bow.max_words_per_query)
+        cand_ids, _ = find_reloc_candidates(
+            self.loop_closer.db, self.map, qvec, n_words=vocab.n_words
+        )
         cand_ids = [int(c) for c in np.asarray(cand_ids) if c >= 0]
         info = {"reloc_candidates": len(cand_ids)}
         M = self.map.mp_capacity
+        accept = self.cfg.tracking.min_localmap_inliers_reloc
         for cand in cand_ids:
             has_mp = self.map.kf_feat_valid[cand] & (self.map.kf_mp_idx[cand] >= 0)
             dist = hamming_matrix(frame.feats.desc, self.map.kf_desc[cand])
@@ -459,92 +612,217 @@ class SLAM:
                 self.cam, Tcw0, obs,
                 chi2_mono=self.cfg.ba.chi2_mono, chi2_stereo=self.cfg.ba.chi2_stereo,
             )
-            if int(n_in) < self.cfg.tracking.min_localmap_inliers_reloc // 2:
+            n_in = int(n_in)
+            if n_in < 10:
                 continue
+            cur_mp = jnp.where(ok & inlier, mp, -1)
+            if n_in < accept:
+                # projection augmentation round 1 (th=10)
+                cur_mp, n_add = self._reloc_aug_wide(
+                    self.map, cand, self.cam, frame, Tcw, cur_mp
+                )
+                if int(n_add) + n_in < accept:
+                    continue
+                Tcw, inlier, n_in = self._pose_from_mp(frame, Tcw, cur_mp)
+                n_in = int(n_in)
+                cur_mp = jnp.where(inlier | (cur_mp < 0), cur_mp, -1)
+                if n_in < accept:
+                    # stricter round 2 (th=3): counts matches + inliers, no
+                    # further optimization (Tracking.cc:622-627)
+                    cur_mp, n_add2 = self._reloc_aug_narrow(
+                        self.map, cand, self.cam, frame, Tcw, cur_mp
+                    )
+                    if int(n_add2) + n_in < accept:
+                        continue
             # accepted: rebuild tracking state around the matched keyframe
-            mp_ids = jnp.where(ok & inlier, mp, -1)
-            self.last = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=mp_ids)
+            self.last = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=cur_mp)
             self.velocity = jnp.eye(4, dtype=jnp.float32)
             self.ref_kf = cand
             self.local = self._snapshot(self.map, jnp.asarray(cand))
             self.ref_kf_tracked = int(jnp.sum((self.map.kf_mp_idx[cand] >= 0).astype(jnp.int32)))
             self.state = TrackState.OK
+            self.last_reloc_fid = fid
             pose = np.asarray(Tcw)
             self.trajectory.append((fid, pose))
-            info.update(relocalized=True, reloc_kf=cand, n_inliers=int(n_in))
+            info.update(relocalized=True, reloc_kf=cand, n_inliers=n_in)
             return pose, info
         return None, info
 
+    def _pose_from_mp(self, frame: StereoFrame, Tcw0, cur_mp):
+        """Pose-only optimization over the per-feature map-point table."""
+        M = self.map.mp_capacity
+        pw = self.map.mp_pos[jnp.clip(cur_mp, 0, M - 1)]
+        inv_s2 = jnp.power(
+            jnp.float32(1.0 / (self.cfg.orb.scale_factor**2)),
+            frame.feats.octave.astype(jnp.float32),
+        )
+        obs = PoseObs(
+            pw=pw, uv=frame.feats.uv, right_u=frame.right_u,
+            inv_sigma2=inv_s2, is_stereo=frame.right_u > 0, valid=cur_mp >= 0,
+        )
+        return optimize_pose(
+            self.cam, Tcw0, obs,
+            chi2_mono=self.cfg.ba.chi2_mono, chi2_stereo=self.cfg.ba.chi2_stereo,
+        )
+
     def _need_keyframe(self, stats: dict) -> bool:
         """Keyframe decision (reference needNewKeyFrame, Tracking.cc:721-804):
-        c1a cadence, c1c tracking weakness vs reference KF, c2 close-point
-        replenishment."""
-        if self.cfg.tracking.only_tracking:
+        c1a cadence / c1b min-cadence + idle mapper / c1c weak-tracking-or-
+        close-point-need, gated by c2 (tracked ratio below 0.75 — 0.4 while
+        the map holds a single KF — or close-point need), suppressed for
+        max_frames after a relocalization."""
+        t = self.cfg.tracking
+        if t.only_tracking:
             return False
-        if int(self.map.next_kf) >= self.map.kf_capacity - 1:
+        if self._n_kf >= self.map.kf_capacity - 1:
             return False
+        if self.frame_id - 1 <= self.last_reloc_fid + t.max_frames:
+            return False
+        ratio = stats["n_tracked"] / max(self.ref_kf_tracked, 1)
         need_close = (stats["n_close_tracked"] < 100) and (stats["n_close_untracked"] > 70)
-        c1a = self.frames_since_kf >= self.cfg.tracking.max_frames
-        c1c = stats["n_tracked"] < 0.75 * max(self.ref_kf_tracked, 1)
-        c2 = stats["n_tracked"] > 15 and (c1a or c1c or need_close)
-        return c2
+        idle = self._pending_kf is None
+        c1a = self.frames_since_kf >= t.max_frames
+        c1b = self.frames_since_kf >= max(t.min_frames, 1) and idle
+        c1c = ratio < 0.25 or need_close
+        ratio_th = 0.4 if self._n_kf < 2 else 0.75
+        c2 = (ratio < ratio_th or need_close) and stats["n_tracked"] > 15
+        return (c1a or c1b or c1c) and c2
 
     def _insert_and_map(self, cur: SlamFrame, fid: int, stats: dict):
-        """The reference's LocalMapping::runOnce pipeline for one KF."""
+        """Keyframe insertion + the mapping front half (cull/triangulate/fuse).
+
+        The reference runs tracking and mapping on separate threads
+        (System.cc:119-129); here the split is the JAX dispatch queue: the
+        mapping programs below are *dispatched* without any host sync, so the
+        host immediately returns to tracking the next frames against the
+        (functional) snapshot while the device drains the mapping work.  The
+        expensive tail — local BA, keyframe culling, loop closing — is
+        deferred to the first idle frame (``_run_deferred_mapping``); a new
+        keyframe arriving first aborts the pending BA, the reference's
+        setAbortBA handshake (LocalMapping.h:103-166, Tracking.cc:799).
+        """
+        self._flush_pending(next_kf_arriving=True)
         self.map, kf_id = self._insert_kf(
             self.map, cur.frame, cur.Tcw, cur.mp_ids, fid, self.cam
         )
-        kf_id_i = int(kf_id)
+        kf_id_i = self._n_kf
+        self._n_kf += 1
         self.map = self._cull(self.map, kf_id)
         self.map = self._triangulate(self.map, kf_id, self.cam)
         self.map = self._fuse(self.map, kf_id, self.cam)
+        if self.cfg.mapping.synchronous:
+            self._pending_kf = (kf_id_i, kf_id)
+            self._run_deferred_mapping()
+        else:
+            self._pending_kf = (kf_id_i, kf_id)
+        self.ref_kf = kf_id_i
+        self.local = self._snapshot(self.map, kf_id)
+        # the inserted KF *is* the current frame: adopt its (possibly fused)
+        # feature→map-point table as the tracker's reference
+        self.last = cur._replace(
+            mp_ids=self.map.kf_mp_idx[kf_id], Tcw=self.map.kf_Tcw[kf_id]
+        )
+        self.frames_since_kf = 0
+        # host-side proxy for the reference KF's tracked-point count (avoids a
+        # device sync): inherited tracked matches + newly created close points
+        self.ref_kf_tracked = stats.get("n_tracked", 0) + stats.get("n_close_untracked", 0)
+
+    def _flush_pending(self, next_kf_arriving: bool) -> None:
+        """Resolve a still-pending mapping tail.  When the next keyframe is
+        already arriving, the pending local BA is aborted (skipped) unless
+        ``force_ba_every`` consecutive KFs have been aborted already — the
+        bounded-starvation guard the reference gets from its queue<3
+        back-pressure (Tracking.cc:795-803)."""
+        if self._pending_kf is None:
+            return
+        force = self._kfs_since_ba + 1 >= self.cfg.mapping.force_ba_every
+        if next_kf_arriving and not force:
+            kf_id_i, kf_id = self._pending_kf
+            # aborted: still cull redundant KFs and register in the BoW DB so
+            # place recognition stays complete (LoopClosing::insertKeyFrame
+            # receives every KF regardless of BA aborts)
+            self.map = self._cull_kfs(self.map, kf_id)
+            if self.enable_loop_closing:
+                self._add_kf_to_db(kf_id_i)
+            self._pending_kf = None
+            self._kfs_since_ba += 1
+        else:
+            self._run_deferred_mapping()
+
+    def _run_deferred_mapping(self):
+        """The mapping tail for the pending keyframe: local BA, KF culling,
+        loop closing (reference LocalMapping.cc:96-109 'idle' work)."""
+        if self._pending_kf is None:
+            return
+        kf_id_i, kf_id = self._pending_kf
+        self._pending_kf = None
+        self._kfs_since_ba = 0
+        kf_Tcw_before = self.map.kf_Tcw[kf_id]
         if self._local_ba is not None:
             self.map = self._local_ba(self.map, kf_id, self.cam)
         self.map = self._cull_kfs(self.map, kf_id)
         closed = False
         if self.enable_loop_closing:
             closed = self._loop_close(kf_id_i)
-        self.ref_kf = kf_id_i
+        # refresh the tracking snapshot on the optimized map; re-anchor the
+        # tracker's pose chain by the correction applied to its reference KF
+        # (the loop/GBA path can move it arbitrarily far)
         self.local = self._snapshot(self.map, kf_id)
-        # the inserted KF *is* the current frame: adopt its (possibly BA- or
-        # loop-corrected) pose as the tracker's reference, else the next
-        # motion-model step predicts from a stale pre-correction pose
-        self.last = cur._replace(
-            mp_ids=self.map.kf_mp_idx[kf_id], Tcw=self.map.kf_Tcw[kf_id]
-        )
         if closed:
+            delta = se3.inverse(kf_Tcw_before) @ self.map.kf_Tcw[kf_id]
+            self.last = self.last._replace(Tcw=self.last.Tcw @ delta)
             self.velocity = jnp.eye(4, dtype=jnp.float32)
-        self.frames_since_kf = 0
-        self.ref_kf_tracked = int(jnp.sum((self.map.kf_mp_idx[kf_id] >= 0).astype(jnp.int32)))
 
     # ------------------------------------------------------------------
-    def _loop_close(self, kf_id: int):
-        """Loop-closing stage run synchronously per keyframe (the reference's
-        LoopClosing thread, src/LoopClosing.cc:53-90)."""
+    def _add_kf_to_db(self, kf_id: int) -> None:
+        """Register a keyframe in the place-recognition database (every KF,
+        even when its BA was aborted — LoopClosing::insertKeyFrame)."""
         from .loop_closing import LoopCloser
 
         if self.loop_closer is None:
-            # train the vocabulary on the first keyframe's descriptors —
-            # self-consistent replacement for shipping ORBvoc (SURVEY.md §2 #11)
-            from ..bow.vocabulary import train_vocabulary
-
-            desc = np.asarray(self.map.kf_desc[kf_id])
-            valid = np.asarray(self.map.kf_feat_valid[kf_id])
-            vocab = train_vocabulary(
-                desc[valid], branching=self.cfg.bow.branching,
-                depth=self.cfg.bow.depth,
-            )
-            self.loop_closer = LoopCloser(self.cfg, vocab)
-
+            self.loop_closer = LoopCloser(self.cfg, self._resolve_vocab(kf_id))
         self.loop_closer.add_keyframe_to_db(self.map, kf_id)
+
+    def _resolve_vocab(self, kf_id: int):
+        """Vocabulary precedence (reference loads DBoW3's ORBvoc at startup,
+        System.cc:92-95): explicit ``bow.vocab_path`` (npz or DBoW text) →
+        packaged pre-trained artifact matching the configured tree shape
+        (built by ``cli train-vocab``) → last-resort training on the first
+        keyframe's own descriptors."""
+        import os
+
+        from ..bow import vocabulary as V
+
+        b = self.cfg.bow
+        if b.vocab_path:
+            if b.vocab_path.endswith(".txt"):
+                return V.load_dbow_text(b.vocab_path)
+            return V.load_vocabulary(b.vocab_path)
+        asset = os.path.join(os.path.dirname(__file__), "..", "assets", "vocab_synth.npz")
+        if os.path.exists(asset):
+            vocab = V.load_vocabulary(asset)
+            if vocab.branching == b.branching and vocab.depth == b.depth:
+                return vocab
+        desc = np.asarray(self.map.kf_desc[kf_id])
+        valid = np.asarray(self.map.kf_feat_valid[kf_id])
+        return V.train_vocabulary(desc[valid], branching=b.branching, depth=b.depth)
+
+    def _loop_close(self, kf_id: int):
+        """Loop-closing stage (the reference's LoopClosing thread,
+        src/LoopClosing.cc:53-90)."""
+        self._add_kf_to_db(kf_id)
         cand = self.loop_closer.detect(self.map, kf_id)
         if cand is None:
             return False
         key = jax.random.PRNGKey(kf_id)
-        S12 = self.loop_closer.compute_sim3(self.map, self.cam, kf_id, cand, key)
-        if S12 is None:
+        res = self.loop_closer.compute_sim3(self.map, self.cam, kf_id, cand, key)
+        if res is None:
             return False
-        self.map = self.loop_closer.correct(self.map, self.cam, kf_id, cand, S12)
+        S12, matched_mp, group = res
+        self.map = self.loop_closer.correct(
+            self.map, self.cam, kf_id, cand, S12, matched_mp, group,
+            mesh=self.mesh,
+        )
         self.loops_closed = getattr(self, "loops_closed", 0) + 1
         return True
 
@@ -555,15 +833,28 @@ class SLAM:
 
         self.map = global_ba(
             self.map, self.cam, scale_factor=self.cfg.orb.scale_factor,
-            pcg_iters=self.cfg.ba.pcg_iters, mesh=mesh,
+            pcg_iters=self.cfg.ba.pcg_iters, mesh=mesh or self.mesh,
         )
         if self.local is not None:
             self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
 
     # ------------------------------------------------------------------
+    def flush(self) -> None:
+        """Complete any deferred mapping work (end-of-sequence / shutdown)."""
+        self._run_deferred_mapping()
+
     def save(self, path: str) -> None:
         """Persist map + vocabulary (reference map save at shutdown,
-        System.cc:194-198)."""
+        System.cc:194-198).  A ``.pb`` path writes the reference's protobuf
+        MapData format (Map.cc:200-249) for cross-system reuse; otherwise the
+        native npz of the SoA stores."""
+        self.flush()
+        if path.endswith(".pb"):
+            from ..io.proto_map import save_proto_map
+
+            vocab = self.loop_closer.vocab if self.loop_closer else None
+            save_proto_map(path, self.map, self.cfg, vocab=vocab)
+            return
         from ..io.persistence import save_map
         from ..bow.vocabulary import save_vocabulary
 
@@ -573,19 +864,33 @@ class SLAM:
 
     def load(self, path: str) -> None:
         """Load a map for continued SLAM or localization-only reuse
-        (reference System.cc:98-110 + OnlyTracking mode)."""
-        from ..io.persistence import load_map
-        from ..bow.vocabulary import load_vocabulary
-        from ..bow.keyframe_db import rebuild
-        from .loop_closing import LoopCloser
-
-        self.map, _ = load_map(path + ".map.npz")
+        (reference System.cc:98-110 + OnlyTracking mode).  ``.pb`` paths load
+        reference-format protobuf maps; the keyframe database is rebuilt with
+        whatever vocabulary resolves (System.cc:104-110)."""
         import os
 
-        if os.path.exists(path + ".vocab.npz"):
-            vocab = load_vocabulary(path + ".vocab.npz")
+        from ..bow.keyframe_db import rebuild
+        from ..bow.vocabulary import load_vocabulary
+        from .loop_closing import LoopCloser
+
+        vocab = None
+        if path.endswith(".pb"):
+            from ..io.proto_map import load_proto_map
+
+            self.map = load_proto_map(path, self.cfg)
+            vocab = self._resolve_vocab(0)
+        else:
+            from ..io.persistence import load_map
+
+            self.map, _ = load_map(path + ".map.npz")
+            if os.path.exists(path + ".vocab.npz"):
+                vocab = load_vocabulary(path + ".vocab.npz")
+        self._n_kf = int(self.map.next_kf)
+        if vocab is not None:
             self.loop_closer = LoopCloser(self.cfg, vocab)
-            self.loop_closer.db = rebuild(vocab, self.map)
+            self.loop_closer.db = rebuild(
+                vocab, self.map, max_words=self.cfg.bow.max_words_per_query
+            )
         self.state = TrackState.NOT_INITING
 
     # ------------------------------------------------------------------

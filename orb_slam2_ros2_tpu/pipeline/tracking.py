@@ -138,6 +138,7 @@ def make_fused_odometry_step(cfg: SLAMConfig):
             n_levels=o.n_levels, baseline=c.baseline, max_dist=m.min_threshold,
             ratio=m.nn_ratio_track, sigma2_base=o.scale_factor * o.scale_factor,
             chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+            pose_rounds=b.pose_rounds, pose_iters=b.pose_iters_per_round,
         )
         velocity_new = Tcw @ se3.inverse(last.Tcw)
         pw, has = unproject_frame(cam, cur, Tcw)
@@ -164,6 +165,7 @@ class OdometryTracker:
             max_dist=m.min_threshold, ratio=m.nn_ratio_track,
             sigma2_base=o.scale_factor * o.scale_factor,
             chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+            pose_rounds=b.pose_rounds, pose_iters=b.pose_iters_per_round,
         )
         self._step = jax.jit(partial(motion_track_step, radius=t.motion_search_radius, **common))
         self._step_wide = jax.jit(partial(motion_track_step, radius=t.motion_search_radius * 2, **common))

@@ -25,7 +25,10 @@ def cfg():
                             width=320, height=192),
         orb=ORBConfig(n_features=600, max_keypoints=768),
         tracking=TrackingConfig(min_init_depth_kps=120, max_local_mappoints=4096,
-                                max_local_keyframes=16, motion_search_radius=35.0),
+                                max_local_keyframes=16, motion_search_radius=35.0,
+                                # 600-feature 320×192 scene: scale the
+                                # reference's 30-inlier local-map gates down
+                                min_localmap_matches=20, min_localmap_inliers=20),
         map=MapConfig(max_keyframes=64, max_mappoints=16384, max_obs_per_mp=16),
         bow=BoWConfig(branching=6, depth=3),
         ba=BAConfig(pcg_iters=20),
