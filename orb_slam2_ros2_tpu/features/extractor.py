@@ -105,8 +105,8 @@ def extract_features_batch(
                          * jnp.asarray([rows_p, 0], jnp.int32)[None, None, :])
     patches = extract_patches_48x64(canvas, centers.reshape(B * N, 2))
     angles_rad = brief.orientations(patches)
-    patches_blur = brief.blur_patches(patches)
-    desc = brief.describe(patches_blur, angles_rad).reshape(B, N, 8)
+    # describe() folds the pre-compare Gaussian blur into its sampling matrix
+    desc = brief.describe(patches, angles_rad).reshape(B, N, 8)
     patches = patches.reshape(B, N, *patches.shape[1:])
     angles_rad = angles_rad.reshape(B, N)
 

@@ -117,34 +117,55 @@ def blur_patches(patches: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jn
 
 @lru_cache(maxsize=None)
 def _pair_difference_matrix(seed: int = 17):
-    """[patch_px, N_ANGLE_BINS·N_PAIRS] f32 with −1 at each pair's first
-    sample and +1 at its second, per rotation bin — the whole oriented-BRIEF
-    sampling pattern as one sparse-in-content dense matrix."""
+    """[patch_px, N_ANGLE_BINS·N_PAIRS] f32: the oriented-BRIEF sampling
+    pattern WITH the pre-compare Gaussian blur folded in.
+
+    The reference blurs the image then samples single pixels
+    (ORBExtractor.cc:427-456).  Blur is linear, so
+    ``blur(patch)·(e_{p2} − e_{p1}) == patch·(g_{p2} − g_{p1})`` where g_p is
+    the 7×7 Gaussian stamped at p — each column holds +G7 at the pair's
+    second point and −G7 at its first.  Folding the blur here deletes the
+    separate 2.8 ms/frame blur pass; template reach (≤19) + apron (3) stays
+    inside the 48×64 patch, so edge handling never differs."""
     import numpy as _np
+
+    from .pyramid import _gaussian_kernel_1d
 
     P = PATCH_ROWS * PATCH_COLS
     lut = rotated_offset_lut(seed)
+    k1 = _gaussian_kernel_1d(7, 2.0).astype(_np.float64)
+    g7 = _np.outer(k1, k1)  # [7, 7]
     D = _np.zeros((P, N_ANGLE_BINS * N_PAIRS), _np.float32)
+
+    def stamp(col, flat_idx, sign):
+        y, x = divmod(int(flat_idx), PATCH_COLS)
+        D[
+            (_np.arange(y - 3, y + 4)[:, None] * PATCH_COLS
+             + _np.arange(x - 3, x + 4)[None, :]).reshape(-1),
+            col,
+        ] += sign * g7.reshape(-1)
+
     for b in range(N_ANGLE_BINS):
         for i in range(N_PAIRS):
-            D[lut[b, i], b * N_PAIRS + i] -= 1.0
-            D[lut[b, N_PAIRS + i], b * N_PAIRS + i] += 1.0
+            stamp(b * N_PAIRS + i, lut[b, i], -1.0)
+            stamp(b * N_PAIRS + i, lut[b, N_PAIRS + i], +1.0)
     return D
 
 
-def describe(patches_blurred: jnp.ndarray, angles: jnp.ndarray, seed: int = 17) -> jnp.ndarray:
-    """BRIEF descriptors uint32[N, 8] from blurred patches [N, P, P] + angles.
+def describe(patches: jnp.ndarray, angles: jnp.ndarray, seed: int = 17) -> jnp.ndarray:
+    """BRIEF descriptors uint32[N, 8] from RAW patches [N, P, P] + angles.
 
-    bit i = I(rot(p1_i)) < I(rot(p2_i)), packed little-endian into 8 words —
-    the reference's 32-byte descriptor as 8 uint32 lanes.
+    bit i = I_blur(rot(p1_i)) < I_blur(rot(p2_i)), packed little-endian into
+    8 words — the reference's 32-byte descriptor as 8 uint32 lanes.
 
     MXU formulation (gather-free): bit i for bin b is the sign of
-    patch · (e_{p2} − e_{p1}), so ONE [N, px] @ [px, bins·256] matmul computes
-    every bin's comparisons and a one-hot einsum selects each keypoint's bin —
-    TPU gathers at 10⁶ elements cost ~8 ms/image, this is ~0.5 ms of matmul.
+    patch · (g_{p2} − g_{p1}) (blur folded into the matrix), so ONE
+    [N, px] @ [px, bins·256] matmul computes every bin's blurred comparisons
+    and a one-hot einsum selects each keypoint's bin — TPU gathers at 10⁶
+    elements cost ~8 ms/image, this is ~1 ms of matmul and no blur pass.
     """
-    n = patches_blurred.shape[0]
-    flat = patches_blurred.reshape(n, -1).astype(jnp.bfloat16)
+    n = patches.shape[0]
+    flat = patches.reshape(n, -1).astype(jnp.bfloat16)
     # bf16 inputs, f32 accumulate: ±1 pair entries are exact, patch values
     # round to ~1 gray level — comparisons of near-equal intensities are
     # noise-dominated anyway, and the matmul runs 4-8× faster than f32

@@ -84,29 +84,78 @@ def resize_bilinear_matmul(img: jnp.ndarray, h_out: int, w_out: int) -> jnp.ndar
     return out.astype(img.dtype)
 
 
+@lru_cache(maxsize=None)
+def _area_weights(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] f32 box-average (cv INTER_AREA) resampling matrix:
+    output pixel i averages the input span [i·s, (i+1)·s), s = n_in/n_out.
+    Anti-aliased at any downscale factor, so every pyramid level can resize
+    DIRECTLY from level 0 (plain bilinear would alias below scale 0.5)."""
+    s = n_in / n_out
+    W = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        lo, hi = i * s, (i + 1) * s
+        j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+        for j in range(j0, min(j1, n_in)):
+            W[i, j] = (min(j + 1.0, hi) - max(float(j), lo)) / s
+    return W
+
+
+@lru_cache(maxsize=None)
+def _pyramid_block_weights(h: int, w: int, n_levels: int, scale_factor: float):
+    """Stacked per-level resize operators for the one-shot pyramid:
+    ``Wh_all [ΣHl, h]`` (levels 1.. stacked along rows) and
+    ``Ww_all [w, ΣWl]`` (stacked along columns), plus per-level offsets."""
+    shapes = level_shapes(h, w, n_levels, scale_factor)[1:]
+    Wh_all = np.concatenate([_area_weights(h, hl) for hl, _ in shapes], axis=0)
+    Ww_all = np.concatenate([_area_weights(w, wl).T for _, wl in shapes], axis=1)
+    h_off = np.cumsum([0] + [hl for hl, _ in shapes])
+    w_off = np.cumsum([0] + [wl for _, wl in shapes])
+    return Wh_all, Ww_all, tuple(h_off.tolist()), tuple(w_off.tolist())
+
+
 @partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
 def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2):
     """[..., H, W] f32 → tuple of [..., Hl, Wl] levels (leading dims batch —
     a stereo pair's two images resize in the same matmuls).
 
-    Bilinear downsampling (cv::resize INTER_LINEAR equivalent,
-    ORBExtractor.cc:287) from the previous level, matching the reference's
-    successive-resize chain rather than resizing level 0 each time —
-    implemented as per-axis weight-matrix matmuls (MXU) instead of gathers.
+    TPU formulation: every level resizes DIRECTLY from level 0 in ONE pair of
+    stacked matmuls — rows of all levels via ``Wh_all @ img``, then all
+    columns via ``@ Ww_all`` — and levels are slices of the [ΣH, ΣW] product
+    (off-diagonal blocks are wasted MXU work, but 2 launches beat the 14
+    skinny per-level matmuls of a successive chain by ~2.5 ms/frame).
+    INTER_AREA box weights keep every scale anti-aliased; the reference's
+    successive INTER_LINEAR chain (ORBExtractor.cc:287) accumulates a similar
+    low-pass, so FAST/BRIEF see equivalent content (documented deviation).
 
     Unlike the reference there is NO per-level Gaussian-blurred copy
-    (ORBExtractor.cc:311-318): BRIEF blurs only its extracted patches
-    (ops.brief.blur_patches) — whole-level blurs cost ~32 ms/image on TPU
-    for values that are never read outside keypoint neighbourhoods.
+    (ORBExtractor.cc:311-318): BRIEF folds its blur into the descriptor
+    sampling matrix (ops.brief._pair_difference_matrix) — whole-level blurs
+    cost ~32 ms/image on TPU for values never read outside keypoint
+    neighbourhoods.
     """
     h, w = img.shape[-2:]
-    shapes = level_shapes(h, w, n_levels, scale_factor)
     # bf16 image plane: halves HBM traffic of every image-space op (FAST's 16
     # rolled copies, canvas, patch gathers).  Intensities ≤255 carry ~0.5 grey
     # levels of rounding — far below FAST thresholds and BRIEF noise floors;
     # stages needing accumulation precision (SAD, moments) upcast locally.
-    levels = [img.astype(jnp.bfloat16)]
+    x = img.astype(jnp.bfloat16)
+    if n_levels == 1:
+        return (x,)
+    Wh_np, Ww_np, h_off, w_off = _pyramid_block_weights(h, w, n_levels, scale_factor)
+    Wh = jnp.asarray(Wh_np).astype(jnp.bfloat16)
+    Ww = jnp.asarray(Ww_np).astype(jnp.bfloat16)
+    rows = jnp.einsum("rH,...HW->...rW", Wh, x,
+                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    full = jnp.einsum("...rW,Wc->...rc", rows, Ww,
+                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    shapes = level_shapes(h, w, n_levels, scale_factor)
+    levels = [x]
     for l in range(1, n_levels):
-        prev = levels[-1]
-        levels.append(resize_bilinear_matmul(prev, *shapes[l]))
+        hl, wl = shapes[l]
+        r0, c0 = h_off[l - 1], w_off[l - 1]
+        levels.append(
+            jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(full, r0, r0 + hl, axis=-2), c0, c0 + wl, axis=-1
+            )
+        )
     return tuple(levels)

@@ -435,12 +435,14 @@ class LoopCloser:
             self.consistent_groups = []
             return None
 
-        covis = np.asarray(state.covis)
+        # fetch only the candidates' covisibility rows (the full [K, K]
+        # matrix is 4 MB — one row set is KBs over the tunnel)
+        covis_rows = np.asarray(state.covis[jnp.asarray(cand_ids)])
         th = self.cfg.loop.consistency_th
         new_groups: List[Tuple[Set[int], int]] = []
         enough: List[int] = []
-        for c in cand_ids:
-            group = set(np.nonzero(covis[c] >= self.cfg.mapping.min_covis_weight)[0].tolist())
+        for ci, c in enumerate(cand_ids):
+            group = set(np.nonzero(covis_rows[ci] >= self.cfg.mapping.min_covis_weight)[0].tolist())
             group.add(c)
             best = 0
             for prev_group, count in self.consistent_groups:

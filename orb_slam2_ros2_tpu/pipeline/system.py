@@ -225,13 +225,17 @@ def slam_track_step(
 
     velocity_new = Tcw2 @ se3.inverse(last.Tcw)
     new_state = SlamFrame(frame=cur, Tcw=Tcw2, mp_ids=cur_mp)
-    # one stacked stats vector → ONE device→host transfer per frame (each
-    # separate int() costs a tunnel round-trip); keys in STAT_KEYS order
-    stats_vec = jnp.stack([
-        n_m1, n_in1, n_localmap, n_tracked, n_in2,
-        n_close_tracked, n_close_untracked,
-    ]).astype(jnp.int32)
-    return new_state, velocity_new, Tcw2, stats_vec, visible, found_local
+    # stats AND pose in one stacked f32 vector → ONE device→host transfer per
+    # frame (each separate fetch costs a full tunnel round-trip); layout:
+    # [STAT_KEYS... , Tcw.flat(16)].  Counts are < 2^24 so f32 is exact.
+    host_vec = jnp.concatenate([
+        jnp.stack([
+            n_m1, n_in1, n_localmap, n_tracked, n_in2,
+            n_close_tracked, n_close_untracked,
+        ]).astype(jnp.float32),
+        Tcw2.reshape(-1),
+    ])
+    return new_state, velocity_new, host_vec, visible, found_local
 
 
 STAT_KEYS = (
@@ -451,12 +455,15 @@ class SLAM:
         t = self.cfg.tracking
         in_reloc_window = fid < self.last_reloc_fid + t.max_frames
         track_fn = self._track_reloc if fid < self.last_reloc_fid + 2 else self._track
-        new_state, velocity, Tcw, stats_vec, visible, found = self._timed(
+        new_state, velocity, host_vec, visible, found = self._timed(
             "track", track_fn,
             self.cam, frame, self.last, self.velocity, self.local,
             self.map.mp_pos, self.map.mp_valid,
         )
-        stats = dict(zip(STAT_KEYS, np.asarray(stats_vec).tolist()))
+        host = np.asarray(host_vec)  # the ONE device→host sync of the frame
+        stats = dict(zip(STAT_KEYS, host[: len(STAT_KEYS)].astype(int).tolist()))
+        Tcw = new_state.Tcw
+        pose = host[len(STAT_KEYS):].reshape(4, 4)
         # acceptance gates (trackLocalMap, Tracking.cc:656-674): ≥30 local-map
         # matches, ≥30 inliers — ≥50 within max_frames of a relocalization
         min_inliers = max(t.min_track_inliers, t.min_localmap_inliers)
@@ -475,6 +482,7 @@ class SLAM:
                 return None, stats
             new_state, velocity, Tcw = self._ref_result
             stats["ref_fallback"] = 1
+            pose = np.asarray(Tcw)
 
         self.map = self._bump(self.map, self.local, visible, found)
         self.last = new_state
@@ -488,7 +496,6 @@ class SLAM:
             # (reference LocalMapping.cc:96-109)
             self._run_deferred_mapping()
 
-        pose = np.asarray(Tcw)
         self.trajectory.append((fid, pose))
         return pose, stats
 

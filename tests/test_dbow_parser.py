@@ -7,6 +7,11 @@ import jax.numpy as jnp
 from orb_slam2_ros2_tpu.bow.vocabulary import load_dbow_text, transform
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast subset: `pytest -m smoke` < 60 s
+
 def _desc_line(byte_val):
     return " ".join(str(byte_val) for _ in range(32))
 

@@ -17,6 +17,11 @@ from orb_slam2_ros2_tpu.ops.hamming import hamming_matrix, hamming_pairs
 
 
 # Small config for fast tests
+
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast subset: `pytest -m smoke` < 60 s
+
 def small_cfg(h=192, w=256, n_kp=512):
     return SLAMConfig(
         camera=CameraConfig(fx=160.0, fy=160.0, cx=w / 2, cy=h / 2, baseline=0.5,

@@ -9,6 +9,11 @@ from orb_slam2_ros2_tpu.config import CameraConfig
 from orb_slam2_ros2_tpu.geometry import camera, se3, sim3, triangulate
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast subset: `pytest -m smoke` < 60 s
+
 def rng(seed=0):
     return np.random.default_rng(seed)
 

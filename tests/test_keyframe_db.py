@@ -18,6 +18,11 @@ from orb_slam2_ros2_tpu.config import MapConfig, SLAMConfig
 from orb_slam2_ros2_tpu.mapstate.map_state import empty_map
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast subset: `pytest -m smoke` < 60 s
+
 def _random_vocab(branching: int, depth: int, seed: int = 0) -> Vocabulary:
     """Synthetic vocabulary with random centroids (structure-only test double;
     a trained tree only changes WHICH word a descriptor lands on)."""

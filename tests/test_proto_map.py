@@ -14,6 +14,11 @@ from orb_slam2_ros2_tpu.io.proto_map import load_proto_map, save_proto_map
 from orb_slam2_ros2_tpu.mapstate.map_state import empty_map
 
 
+
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast subset: `pytest -m smoke` < 60 s
+
 def _small_state(cfg, K=3, P=40, seed=0):
     rng = np.random.default_rng(seed)
     st = empty_map(cfg)
