@@ -38,8 +38,8 @@ def log(msg):
 
 def main():
     cfg = SLAMConfig()
-    ds = SyntheticStereoDataset(cfg.camera, n_frames=N_FRAMES + 10, speed=0.8)
-    frames = [ds.frame(i)[:2] for i in range(N_FRAMES + 8)]
+    ds = SyntheticStereoDataset(cfg.camera, n_frames=N_FRAMES + 42, speed=0.8)
+    frames = [ds.frame(i)[:2] for i in range(N_FRAMES + 40)]
     jax.block_until_ready(frames[-1][0])
     log("rendered")
 
@@ -56,16 +56,19 @@ def main():
     log(f"tunnel rtt {rtt*1000:.1f} ms")
 
     slam = SLAM(cfg)
-    # warmup: compile every program variant (init, track, KF insert, mapping,
-    # deferred BA, loop registration)
-    for i in range(8):
+    # warmup: compile every program variant — init, track, KF insert, mapping
+    # front, deferred BA tail, BA-abort path, loop-detect (first full run at
+    # kf_id ≥ 10).  Programs compile lazily on first use, so the warmup must
+    # RUN every path or their multi-second compiles pollute the measurement.
+    WARM = 40
+    for i in range(WARM):
         slam.track(*frames[i])
     slam.flush()
-    log("warm")
+    log(f"warm ({slam.n_keyframes} kfs)")
 
     t0 = time.perf_counter()
     tracked = 0
-    for i in range(8, 8 + N_FRAMES):
+    for i in range(WARM, WARM + N_FRAMES):
         Tcw, stats = slam.track(*frames[i])
         tracked += Tcw is not None
     slam.flush()

@@ -84,6 +84,7 @@ def triangulate_new_points(
     free1 = state.kf_feat_valid[kf_id] & (state.kf_mp_idx[kf_id] < 0)
 
     st = state
+    next_mp0 = state.next_mp  # new points are bump-allocated from here
     for j in range(n_neighbors):
         kn = nb_ids[j]
         ok_nb = (nb_w[j] > 0) & (kn != kf_id)
@@ -202,10 +203,17 @@ def triangulate_new_points(
         )
         st = _append_observations(st, kf_id, new_ids, feat_ids, create)
         st = _append_observations(st, kn, new_ids, bj, create)
-        st = _distill_descriptors(st, new_ids)
-        st = _update_normals_and_depth(st, new_ids, scale_factor, n_levels)
         # free1 must exclude features just consumed
         free1 = free1 & ~create
+
+    # descriptor distillation + normal/depth update ONCE over every point the
+    # loop allocated (bump allocation → contiguous ids; each KF1 feature
+    # creates at most one point, so ≤ N in total).  These are the
+    # gather-heaviest stages — per-neighbour they were ~10× the cost.
+    all_new = next_mp0 + jnp.arange(N, dtype=jnp.int32)
+    all_new = jnp.where(all_new < st.next_mp, all_new, -1)
+    st = _distill_descriptors(st, all_new)
+    st = _update_normals_and_depth(st, all_new, scale_factor, n_levels)
 
     # refresh covisibility of the new KF after creation
     row = _covis_row_for_kf(st, kf_id)

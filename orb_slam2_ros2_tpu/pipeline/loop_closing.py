@@ -389,9 +389,30 @@ class LoopCloser:
 
         self._transform = jax.jit(partial(transform, vocab))
         self._bowvec = jax.jit(partial(sparse_bow, vocab, max_words=cfg.bow.max_words_per_query))
-        self._query = jax.jit(partial(find_loop_candidates, n_candidates=5,
-                                      n_words=vocab.n_words,
-                                      min_covis_weight=cfg.mapping.min_covis_weight))
+
+        def _add_and_detect_program(db, state, kf_id):
+            """DB insertion + transform → sparse BoW → candidate query →
+            candidate covis rows, as ONE program: the host pays a single
+            dispatch+fetch per keyframe instead of six (each dependent
+            dispatch costs a tunnel round-trip)."""
+            from ..bow.keyframe_db import add_keyframe
+
+            words = transform(vocab, state.kf_desc[kf_id], state.kf_feat_valid[kf_id])
+            q = sparse_bow(vocab, words, cfg.bow.max_words_per_query)
+            db = KeyFrameDB(
+                word_ids=db.word_ids.at[kf_id].set(q.ids),
+                weights=db.weights.at[kf_id].set(q.weights),
+            )
+            cand_ids, scores = find_loop_candidates(
+                db, state, q, kf_id, n_candidates=5, n_words=vocab.n_words,
+                min_covis_weight=cfg.mapping.min_covis_weight,
+            )
+            rows = state.covis[jnp.clip(cand_ids, 0, state.kf_capacity - 1)]
+            rows = jnp.where((cand_ids >= 0)[:, None], rows, 0)
+            # ids embedded in column 0 → ONE host fetch for the whole result
+            return db, jnp.concatenate([cand_ids[:, None], rows], axis=1)
+
+        self._add_detect_prog = jax.jit(_add_and_detect_program, donate_argnums=(0,))
         self._match = jax.jit(partial(match_mappoint_features))
         self._pose_graph = jax.jit(partial(optimize_pose_graph, iters=20))
         o = cfg.orb
@@ -422,22 +443,24 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def detect(self, state: MapState, kf_id: int) -> Optional[int]:
-        """Consistency-chained loop detection (LoopClosing.cc:218-282)."""
+        """DB registration + consistency-chained loop detection
+        (LoopClosing::insertKeyFrame + detectLoop, LoopClosing.cc:218-282),
+        one dispatch + at most one fetch per keyframe."""
+        self.db, out_dev = self._add_detect_prog(self.db, state, jnp.asarray(kf_id))
         if kf_id < 10 or kf_id - self.last_loop_kf < 10:
             # match the reference's early-out: no loops right after start or
-            # a recent correction (LoopClosing.cc:222-231)
+            # a recent correction (LoopClosing.cc:222-231); the keyframe is
+            # still registered in the database above
             return None
-        words = self._transform(state.kf_desc[kf_id], state.kf_feat_valid[kf_id])
-        qvec = self._bowvec(words)
-        cand_ids, _ = self._query(self.db, state, qvec, kf_id)
-        cand_ids = [int(c) for c in np.asarray(cand_ids) if c >= 0]
+        out = np.asarray(out_dev)
+        cand_all, covis_rows = out[:, 0], out[:, 1:]   # one host fetch total
+        keep = cand_all >= 0
+        cand_ids = [int(c) for c in cand_all[keep]]
+        covis_rows = covis_rows[keep]
         if not cand_ids:
             self.consistent_groups = []
             return None
 
-        # fetch only the candidates' covisibility rows (the full [K, K]
-        # matrix is 4 MB — one row set is KBs over the tunnel)
-        covis_rows = np.asarray(state.covis[jnp.asarray(cand_ids)])
         th = self.cfg.loop.consistency_th
         new_groups: List[Tuple[Set[int], int]] = []
         enough: List[int] = []

@@ -328,6 +328,26 @@ class SLAM:
         # widened local-map search for the 2 frames after a relocalization
         # (reference trackLocalMap th=5, Tracking.cc:646-648)
         self._track_reloc = jax.jit(partial(slam_track_step, proj_th=5.0, **track_common))
+
+        # ---- fused per-frame program: frontend + track + counter bump -----
+        # On a tunnelled TPU every DEPENDENT dispatch serializes with a full
+        # network round-trip (~33 ms measured), so the steady-state frame
+        # must be ONE program: the reference's per-frame hot path
+        # (SURVEY §3.2) as a single XLA computation.
+        fe_fn = make_rgbd_frontend(cfg) if rgbd else make_stereo_frontend(cfg)
+        fe_inner = fe_fn.__wrapped__ if hasattr(fe_fn, "__wrapped__") else fe_fn
+
+        def _frame_program(cam, img_l, img_r, last, velocity, local, mapstate, *, proj_th):
+            cur = fe_inner(img_l, img_r, cam)
+            new_state, velocity2, host_vec, visible, found = slam_track_step(
+                cam, cur, last, velocity, local,
+                mapstate.mp_pos, mapstate.mp_valid, proj_th=proj_th, **track_common,
+            )
+            mapstate2 = bump_tracking_counters(mapstate, local, visible, found)
+            return new_state, velocity2, host_vec, mapstate2
+
+        self._frame = jax.jit(partial(_frame_program, proj_th=3.0), donate_argnums=(6,))
+        self._frame_reloc = jax.jit(partial(_frame_program, proj_th=5.0), donate_argnums=(6,))
         aug_common = dict(
             width=c.width, height=c.height, scale_factor=o.scale_factor,
             n_levels=o.n_levels, max_dist=m.max_threshold, ratio=0.9,
@@ -345,26 +365,6 @@ class SLAM:
             ),
             donate_argnums=(0,),
         )
-        self._triangulate = jax.jit(
-            partial(
-                triangulate_new_points,
-                n_neighbors=mp.n_triangulate_kfs, scale_factor=o.scale_factor,
-                n_levels=o.n_levels, baseline=c.baseline,
-                rank_gate=mp.triangulation_rank_gate,
-                chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
-            ),
-            donate_argnums=(0,),
-        )
-        self._fuse = jax.jit(
-            partial(
-                fuse_into_keyframe, width=c.width, height=c.height,
-                scale_factor=o.scale_factor, n_levels=o.n_levels,
-            ),
-            donate_argnums=(0,),
-        )
-        self._cull = jax.jit(
-            partial(cull_mappoints, cull_score=mp.mp_cull_score), donate_argnums=(0,)
-        )
         self._cull_kfs = jax.jit(
             partial(cull_keyframes, redundancy=mp.kf_cull_ratio), donate_argnums=(0,)
         )
@@ -374,7 +374,6 @@ class SLAM:
                 max_mps=t.max_local_mappoints,
             )
         )
-        self._bump = jax.jit(bump_tracking_counters, donate_argnums=(0,))
         from ..solvers.local_ba import local_ba
 
         self._local_ba = jax.jit(
@@ -388,6 +387,60 @@ class SLAM:
             ),
             donate_argnums=(0,),
         )
+
+        # ---- fused keyframe programs (one dispatch each, see _frame) ------
+        def _map_front_program(mapstate, frame, Tcw, mp_ids, fid, cam):
+            """Keyframe insertion + the mapping front half as ONE program:
+            insert → MP cull → triangulate → fuse → local-map snapshot
+            (reference LocalMapping::runOnce up to the BA, LocalMapping.cc:
+            80-95)."""
+            mapstate, kf_id = insert_keyframe(
+                mapstate, frame, Tcw, mp_ids, fid, cam,
+                depth_threshold=c.baseline * t.th_depth,
+                scale_factor=o.scale_factor, n_levels=o.n_levels,
+                min_covis_weight=mp.min_covis_weight,
+            )
+            mapstate = cull_mappoints(mapstate, kf_id, cull_score=mp.mp_cull_score)
+            mapstate = triangulate_new_points(
+                mapstate, kf_id, cam,
+                n_neighbors=mp.n_triangulate_kfs, scale_factor=o.scale_factor,
+                n_levels=o.n_levels, baseline=c.baseline,
+                rank_gate=mp.triangulation_rank_gate,
+                chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+            )
+            mapstate = fuse_into_keyframe(
+                mapstate, kf_id, cam, width=c.width, height=c.height,
+                scale_factor=o.scale_factor, n_levels=o.n_levels,
+            )
+            local = local_map_snapshot(
+                mapstate, kf_id, max_kfs=t.max_local_keyframes,
+                max_mps=t.max_local_mappoints,
+            )
+            return (mapstate, kf_id, local,
+                    mapstate.kf_mp_idx[kf_id], mapstate.kf_Tcw[kf_id])
+
+        self._map_front = jax.jit(_map_front_program, donate_argnums=(0,))
+
+        def _map_tail_program(mapstate, kf_id, cam):
+            """The deferred mapping tail as ONE program: local BA + KF cull +
+            refreshed snapshot (LocalMapping.cc:96-109 idle work)."""
+            Tcw_before = mapstate.kf_Tcw[kf_id]
+            mapstate = local_ba(
+                mapstate, kf_id, cam,
+                max_free=b.max_local_ba_kfs, max_fixed=b.max_local_ba_fixed,
+                max_points=b.local_ba_points,
+                chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+                lam=b.lm_lambda_init, scale_factor=o.scale_factor,
+                phase_iters=tuple(b.local_ba_phase_iters),
+            )
+            mapstate = cull_keyframes(mapstate, kf_id, redundancy=mp.kf_cull_ratio)
+            local = local_map_snapshot(
+                mapstate, kf_id, max_kfs=t.max_local_keyframes,
+                max_mps=t.max_local_mappoints,
+            )
+            return mapstate, local, Tcw_before
+
+        self._map_tail = jax.jit(_map_tail_program, donate_argnums=(0,))
 
         # distributed global BA: shard landmark blocks over a device mesh when
         # configured (SURVEY §5.8; the single-chip path pays no collective)
@@ -436,13 +489,11 @@ class SLAM:
 
     def track(self, img_left, img_right) -> Tuple[Optional[np.ndarray], dict]:
         """Feed one stereo pair (or RGB + depth map in rgbd mode)."""
-        initing = self.state in (TrackState.NOT_IMAGE_YET, TrackState.NOT_INITING)
-        fe = self._frontend_init if initing else self._frontend
-        frame = self._timed("frontend", fe, img_left, img_right, self.cam)
         fid = self.frame_id
         self.frame_id += 1
 
         if self.state in (TrackState.NOT_IMAGE_YET, TrackState.NOT_INITING):
+            frame = self._timed("frontend", self._frontend_init, img_left, img_right, self.cam)
             if self.n_keyframes > 0:
                 # a map exists (loaded or surviving) — localize instead of
                 # re-initializing (reference OnlyTracking/reuse mode)
@@ -450,16 +501,19 @@ class SLAM:
             return self._initialize(frame, fid)
 
         if self.state == TrackState.LOST:
+            frame = self._timed("frontend", self._frontend, img_left, img_right, self.cam)
             return self._relocalize(frame, fid)
 
         t = self.cfg.tracking
         in_reloc_window = fid < self.last_reloc_fid + t.max_frames
-        track_fn = self._track_reloc if fid < self.last_reloc_fid + 2 else self._track
-        new_state, velocity, host_vec, visible, found = self._timed(
-            "track", track_fn,
-            self.cam, frame, self.last, self.velocity, self.local,
-            self.map.mp_pos, self.map.mp_valid,
+        frame_fn = self._frame_reloc if fid < self.last_reloc_fid + 2 else self._frame
+        new_state, velocity, host_vec, new_map = self._timed(
+            "track", frame_fn,
+            self.cam, img_left, img_right, self.last, self.velocity,
+            self.local, self.map,
         )
+        self.map = new_map
+        frame = new_state.frame
         host = np.asarray(host_vec)  # the ONE device→host sync of the frame
         stats = dict(zip(STAT_KEYS, host[: len(STAT_KEYS)].astype(int).tolist()))
         Tcw = new_state.Tcw
@@ -484,7 +538,6 @@ class SLAM:
             stats["ref_fallback"] = 1
             pose = np.asarray(Tcw)
 
-        self.map = self._bump(self.map, self.local, visible, found)
         self.last = new_state
         self.velocity = velocity
         self.frames_since_kf += 1
@@ -709,30 +762,25 @@ class SLAM:
         setAbortBA handshake (LocalMapping.h:103-166, Tracking.cc:799).
         """
         self._flush_pending(next_kf_arriving=True)
-        self.map, kf_id = self._insert_kf(
+        self.map, kf_id, self.local, last_mp_ids, last_Tcw = self._map_front(
             self.map, cur.frame, cur.Tcw, cur.mp_ids, fid, self.cam
         )
         kf_id_i = self._n_kf
         self._n_kf += 1
-        self.map = self._cull(self.map, kf_id)
-        self.map = self._triangulate(self.map, kf_id, self.cam)
-        self.map = self._fuse(self.map, kf_id, self.cam)
+        self._pending_kf = (kf_id_i, kf_id)
         if self.cfg.mapping.synchronous:
-            self._pending_kf = (kf_id_i, kf_id)
             self._run_deferred_mapping()
-        else:
-            self._pending_kf = (kf_id_i, kf_id)
         self.ref_kf = kf_id_i
-        self.local = self._snapshot(self.map, kf_id)
         # the inserted KF *is* the current frame: adopt its (possibly fused)
         # feature→map-point table as the tracker's reference
-        self.last = cur._replace(
-            mp_ids=self.map.kf_mp_idx[kf_id], Tcw=self.map.kf_Tcw[kf_id]
-        )
+        self.last = cur._replace(mp_ids=last_mp_ids, Tcw=last_Tcw)
         self.frames_since_kf = 0
-        # host-side proxy for the reference KF's tracked-point count (avoids a
-        # device sync): inherited tracked matches + newly created close points
-        self.ref_kf_tracked = stats.get("n_tracked", 0) + stats.get("n_close_untracked", 0)
+        # host-side proxy for the reference's nRefMps (needNewKeyFrame counts
+        # ref-KF map points with >1 observation, Tracking.cc:737-746): the
+        # inherited tracked points.  The freshly created single-observation
+        # stereo points must NOT count — including them reads the ratio as
+        # ~0.4 on every frame and spams keyframes at the c2 gate.
+        self.ref_kf_tracked = stats.get("n_tracked", 0)
 
     def _flush_pending(self, next_kf_arriving: bool) -> None:
         """Resolve a still-pending mapping tail.  When the next keyframe is
@@ -764,30 +812,30 @@ class SLAM:
         kf_id_i, kf_id = self._pending_kf
         self._pending_kf = None
         self._kfs_since_ba = 0
-        kf_Tcw_before = self.map.kf_Tcw[kf_id]
-        if self._local_ba is not None:
-            self.map = self._local_ba(self.map, kf_id, self.cam)
-        self.map = self._cull_kfs(self.map, kf_id)
+        self.map, self.local, kf_Tcw_before = self._map_tail(self.map, kf_id, self.cam)
         closed = False
         if self.enable_loop_closing:
             closed = self._loop_close(kf_id_i)
-        # refresh the tracking snapshot on the optimized map; re-anchor the
-        # tracker's pose chain by the correction applied to its reference KF
-        # (the loop/GBA path can move it arbitrarily far)
-        self.local = self._snapshot(self.map, kf_id)
         if closed:
+            # refresh the snapshot on the corrected map and re-anchor the
+            # tracker's pose chain by the correction applied to its reference
+            # KF (the loop/GBA path can move it arbitrarily far)
+            self.local = self._snapshot(self.map, jnp.asarray(kf_id))
             delta = se3.inverse(kf_Tcw_before) @ self.map.kf_Tcw[kf_id]
             self.last = self.last._replace(Tcw=self.last.Tcw @ delta)
             self.velocity = jnp.eye(4, dtype=jnp.float32)
 
     # ------------------------------------------------------------------
-    def _add_kf_to_db(self, kf_id: int) -> None:
-        """Register a keyframe in the place-recognition database (every KF,
-        even when its BA was aborted — LoopClosing::insertKeyFrame)."""
+    def _ensure_loop_closer(self, kf_id: int) -> None:
         from .loop_closing import LoopCloser
 
         if self.loop_closer is None:
             self.loop_closer = LoopCloser(self.cfg, self._resolve_vocab(kf_id))
+
+    def _add_kf_to_db(self, kf_id: int) -> None:
+        """Register a keyframe in the place-recognition database (every KF,
+        even when its BA was aborted — LoopClosing::insertKeyFrame)."""
+        self._ensure_loop_closer(kf_id)
         self.loop_closer.add_keyframe_to_db(self.map, kf_id)
 
     def _resolve_vocab(self, kf_id: int):
@@ -816,8 +864,9 @@ class SLAM:
 
     def _loop_close(self, kf_id: int):
         """Loop-closing stage (the reference's LoopClosing thread,
-        src/LoopClosing.cc:53-90)."""
-        self._add_kf_to_db(kf_id)
+        src/LoopClosing.cc:53-90).  detect() also registers the keyframe in
+        the database (one fused dispatch)."""
+        self._ensure_loop_closer(kf_id)
         cand = self.loop_closer.detect(self.map, kf_id)
         if cand is None:
             return False
