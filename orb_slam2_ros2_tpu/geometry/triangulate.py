@@ -30,6 +30,23 @@ def dlt_rows(cam: CameraParams, Tcw: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarra
     return jnp.stack([r0, r1], axis=-2)
 
 
+def _sym3_eigenvalues(M: jnp.ndarray):
+    """Closed-form (Cardano) eigenvalues of symmetric [..., 3, 3] matrices,
+    returned ascending.  Branch-free, ~30 VPU ops — batched 3×3/4×4
+    decompositions via jnp.linalg cost milliseconds on TPU."""
+    q = jnp.trace(M, axis1=-2, axis2=-1) / 3.0
+    Mq = M - q[..., None, None] * jnp.eye(3, dtype=M.dtype)
+    p2 = jnp.sum(Mq * Mq, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = jnp.linalg.det(Mq / p[..., None, None])
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    l1 = q + 2.0 * p * jnp.cos(phi)                       # largest
+    l3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    l2 = 3.0 * q - l1 - l3
+    return l3, l2, l1
+
+
 def triangulate_pairs(
     cam: CameraParams,
     Tcw1: jnp.ndarray,  # [..., 4, 4] world→cam1
@@ -40,21 +57,48 @@ def triangulate_pairs(
 ):
     """DLT-triangulate matched observations.
 
-    Returns (points_w [..., 3], ok [...]).  The reference accepts a solution
-    only when the smallest singular value is a clean 1-D null space:
-    it *rejects* when σ₄/σ₃ > 1e-3 (LocalMapping.cc:329-331).  We add a
-    second guard σ₃ > ε·σ₁ to also reject the doubly-degenerate case
-    (e.g. zero baseline) where σ₃ ≈ σ₄ ≈ 0 and the ratio is meaningless.
+    Returns (points_w [..., 3], ok [...]).  TPU formulation: instead of the
+    reference's 4×4 SVD null vector (LocalMapping.cc:329-331 — batched small
+    SVDs are an iterative, milliseconds-per-call lowering on TPU), solve the
+    inhomogeneous system ``A[:, :3] X = −A[:, 3]`` via 3×3 normal equations
+    with a closed-form adjugate inverse.  The two formulations minimize the
+    same algebraic error; homogeneous solutions with w≈0 (points at
+    infinity) appear here as ill-conditioned normal equations and are
+    rejected by the same rank gate: the reference's σ₄/σ₃ ≤ ``rank_gate``
+    (clean 1-D null space) maps to λ_min/λ_max of AᵀA restricted to the
+    solution space — gated via the closed-form (Cardano) eigenvalues of M.
     """
     A = jnp.concatenate([dlt_rows(cam, Tcw1, uv1), dlt_rows(cam, Tcw2, uv2)], axis=-2)
-    _, s, vt = jnp.linalg.svd(A, full_matrices=True)
-    X = vt[..., 3, :]
-    w = X[..., 3]
-    ok_rank = s[..., 3] <= rank_gate * jnp.maximum(s[..., 2], 1e-20)
-    ok_nondegen = s[..., 2] > 1e-6 * s[..., 0]
-    ok_w = jnp.abs(w) > 1e-12
-    pw = X[..., :3] / jnp.where(ok_w, w, 1.0)[..., None]
-    return pw, ok_rank & ok_nondegen & ok_w
+    A3 = A[..., :3]                      # [..., 4, 3]
+    b = -A[..., 3]                       # [..., 4]
+    M = jnp.einsum("...ki,...kj->...ij", A3, A3)          # [..., 3, 3] PSD
+    rhs = jnp.einsum("...ki,...k->...i", A3, b)           # [..., 3]
+
+    # adjugate inverse of the symmetric 3×3
+    m00, m01, m02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    m11, m12, m22 = M[..., 1, 1], M[..., 1, 2], M[..., 2, 2]
+    c00 = m11 * m22 - m12 * m12
+    c01 = m02 * m12 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c11 = m00 * m22 - m02 * m02
+    c12 = m01 * m02 - m00 * m12
+    c22 = m00 * m11 - m01 * m01
+    det = m00 * c00 + m01 * c01 + m02 * c02
+    adj = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c01, c11, c12], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+    ok_det = jnp.abs(det) > 1e-20
+    pw = jnp.einsum("...ij,...j->...i", adj, rhs) / jnp.where(ok_det, det, 1.0)[..., None]
+
+    l_min, _, l_max = _sym3_eigenvalues(M)
+    # conditioning gate: degenerate geometry (zero baseline, parallel rays)
+    # collapses λ_min of the normal equations — the counterpart of the
+    # reference's dirty-null-space rejection.  rank_gate enters squared
+    # because M = AᵀA squares singular values.
+    ok_rank = l_min > (rank_gate * rank_gate) * jnp.maximum(l_max, 1e-20)
+    return pw, ok_rank & ok_det
 
 
 def parallax_cos(

@@ -419,18 +419,58 @@ class LoopCloser:
         c = cfg.camera
         geom = dict(width=c.width, height=c.height,
                     scale_factor=o.scale_factor, n_levels=o.n_levels)
-        self._sim3_expand = jax.jit(partial(search_by_sim3_pair, th=7.5, **geom))
-        self._gather_pairs = jax.jit(gather_match_pairs)
-        self._group_snap = jax.jit(partial(
-            loop_group_snapshot,
-            min_covis_weight=cfg.mapping.min_covis_weight, max_mps=8192,
-        ))
-        self._group_proj = jax.jit(partial(search_loop_group_projection, th=10.0, **geom))
         self._attach = jax.jit(attach_matched_mps)
         self._fuse_group = jax.jit(partial(fuse_group_into_kfs, **geom))
-        self._inv_sigma2 = lambda oct: jnp.power(
+        inv_sigma2 = lambda oct: jnp.power(  # noqa: E731
             jnp.float32(1.0 / (o.scale_factor**2)), oct.astype(jnp.float32)
         )
+        self._inv_sigma2 = inv_sigma2
+
+        # --- the Sim3 verification cascade as three fused stages ----------
+        # (one dispatch + one scalar fetch per stage: most attempts die at
+        # stage A, costing a single tunnel round-trip instead of ~10)
+        fix_scale = cfg.camera.camera_type in (0, 1)  # stereo/RGBD
+        chi2 = cfg.ba.chi2_sim3
+
+        def _stage_a(state, cam, kf_cur, kf_cand, key):
+            ok, bj, pc1, pc2, oct1, oct2, _, _ = match_mappoint_features(
+                state, kf_cur, kf_cand
+            )
+            n_matches = jnp.sum(ok.astype(jnp.int32))
+            S12, inl, n_in = ransac_sim3(
+                pc1, pc2, ok, cam, inv_sigma2(oct1), inv_sigma2(oct2), key,
+                fix_scale=fix_scale, chi2_th=chi2,
+            )
+            return S12, ok, bj, jnp.stack([n_matches, n_in])
+
+        def _stage_b(state, cam, kf_cur, kf_cand, S12, ok, bj):
+            ok, bj, n_exp = search_by_sim3_pair(
+                state, cam, kf_cur, kf_cand, S12, ok, bj, th=7.5, **geom
+            )
+            ok2, pc1, pc2, oct1, oct2, mp2 = gather_match_pairs(
+                state, kf_cur, kf_cand, ok, bj
+            )
+            S12b, inl2, n_in2 = optimize_sim3(
+                S12, pc1, pc2, ok2, cam, inv_sigma2(oct1), inv_sigma2(oct2),
+                fix_scale=fix_scale, chi2_th=chi2,
+            )
+            matched_mp = jnp.where(ok2 & inl2, mp2, -1)
+            return S12b, matched_mp, jnp.stack([n_exp, n_in2])
+
+        def _stage_c(state, cam, kf_cur, kf_cand, S12, matched_mp):
+            group = loop_group_snapshot(
+                state, kf_cand,
+                min_covis_weight=cfg.mapping.min_covis_weight, max_mps=8192,
+            )
+            S_cw = sim3.compose(S12, sim3.from_se3(state.kf_Tcw[kf_cand]))
+            matched_mp, n_total = search_loop_group_projection(
+                state, cam, kf_cur, S_cw, group, matched_mp, th=10.0, **geom
+            )
+            return matched_mp, group, n_total
+
+        self._sim3_a = jax.jit(_stage_a)
+        self._sim3_b = jax.jit(_stage_b)
+        self._sim3_c = jax.jit(_stage_c)
 
     # ------------------------------------------------------------------
     def add_keyframe_to_db(self, state: MapState, kf_id: int) -> None:
@@ -489,45 +529,41 @@ class LoopCloser:
         ``matched_mp`` the per-current-feature loop map point, and ``group``
         the loop-group snapshot for the correction fuse — or None."""
         lc = self.cfg.loop
-        ok, bj, pc1, pc2, oct1, oct2, _, _ = self._match(state, kf_cur, kf_cand)
-        n_matches = int(jnp.sum(ok.astype(jnp.int32)))
-        if n_matches < lc.min_bow_matches:
-            return None
-        iv1 = self._inv_sigma2(oct1)
-        iv2 = self._inv_sigma2(oct2)
-        fix_scale = self.cfg.camera.camera_type in (0, 1)  # stereo/RGBD: scale fixed
-        S12, inl, n_in = ransac_sim3(
-            pc1, pc2, ok, cam, iv1, iv2, key, fix_scale=fix_scale,
-            chi2_th=self.cfg.ba.chi2_sim3,
-        )
-        if int(n_in) < lc.min_sim3_inliers:
+        # stage A: descriptor match + Sim3 RANSAC (one dispatch, one fetch)
+        S12, ok, bj, gates_a = self._sim3_a(state, cam, kf_cur, kf_cand, key)
+        n_matches, n_in = np.asarray(gates_a).tolist()
+        if n_matches < lc.min_bow_matches or n_in < lc.min_sim3_inliers:
             return None
 
-        # Sim3-guided match expansion ≥50 (LoopClosing.cc:367-369)
-        ok, bj, n_exp = self._sim3_expand(state, cam, kf_cur, kf_cand, S12, ok, bj)
-        if int(n_exp) < lc.min_expanded_matches:
-            return None
-        ok, pc1, pc2, oct1, oct2, mp2 = self._gather_pairs(state, kf_cur, kf_cand, ok, bj)
-        iv1 = self._inv_sigma2(oct1)
-        iv2 = self._inv_sigma2(oct2)
-        S12, inl2, n_in2 = optimize_sim3(
-            S12, pc1, pc2, ok, cam, iv1, iv2, fix_scale=fix_scale,
-            chi2_th=self.cfg.ba.chi2_sim3,
-        )
-        if int(n_in2) < lc.min_sim3_opt_inliers:
+        # stage B: searchBySim3 expansion ≥50 + OptimizeSim3 ≥50
+        # (LoopClosing.cc:367-369, :404-408)
+        S12, matched_mp, gates_b = self._sim3_b(state, cam, kf_cur, kf_cand, S12, ok, bj)
+        n_exp, n_in2 = np.asarray(gates_b).tolist()
+        if n_exp < lc.min_expanded_matches or n_in2 < lc.min_sim3_opt_inliers:
             return None
 
-        # loop-group projection check ≥40 (LoopClosing.cc:410-412):
+        # stage C: loop-group projection check ≥40 (LoopClosing.cc:410-412):
         # matched table seeded from the optimizer's inliers, then expanded by
         # projecting the whole loop group through Scw = S12 ∘ S_cand_w
-        matched_mp = jnp.where(ok & inl2, mp2, -1)
-        group = self._group_snap(state, kf_cand)
-        S_cand = sim3.from_se3(state.kf_Tcw[kf_cand])
-        S_cw = sim3.compose(S12, S_cand)
-        matched_mp, n_total = self._group_proj(state, cam, kf_cur, S_cw, group, matched_mp)
+        matched_mp, group, n_total = self._sim3_c(state, cam, kf_cur, kf_cand, S12, matched_mp)
         if int(n_total) < lc.min_group_proj_matches:
             return None
         return S12, matched_mp, group
+
+    # ------------------------------------------------------------------
+    def warmup(self, state: MapState, cam: CameraParams) -> None:
+        """Pre-compile the detection + verification programs on dummy inputs
+        so a mid-run first loop attempt doesn't stall tracking for the
+        compile (measured: ~45 s for stage A alone).  With the persistent
+        compile cache this costs seconds after the first-ever run — the
+        reference analogously eats minutes loading ORBvoc at startup
+        (System.cc:92-95)."""
+        kf0 = jnp.asarray(0)
+        self.db, out = self._add_detect_prog(self.db, state, kf0)
+        key = jax.random.PRNGKey(0)
+        S12, ok, bj, _ = self._sim3_a(state, cam, kf0, kf0, key)
+        S12, matched_mp, _ = self._sim3_b(state, cam, kf0, kf0, S12, ok, bj)
+        self._sim3_c(state, cam, kf0, kf0, S12, matched_mp)
 
     # ------------------------------------------------------------------
     def correct(

@@ -831,6 +831,11 @@ class SLAM:
 
         if self.loop_closer is None:
             self.loop_closer = LoopCloser(self.cfg, self._resolve_vocab(kf_id))
+            if jax.default_backend() != "cpu":
+                # pre-compile detection/verification so the first mid-run
+                # loop attempt doesn't stall tracking (CPU test runs compile
+                # fast and lazily instead)
+                self.loop_closer.warmup(self.map, self.cam)
 
     def _add_kf_to_db(self, kf_id: int) -> None:
         """Register a keyframe in the place-recognition database (every KF,
