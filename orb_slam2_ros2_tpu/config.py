@@ -134,10 +134,13 @@ class MappingConfig:
     # abort-BA handshake, System.cc:119-129, LocalMapping.h:103-166):
     # synchronous=False defers local BA / KF-culling / loop closing to the
     # first idle frame after a keyframe; a new keyframe arriving first aborts
-    # the pending BA (setAbortBA) unless ``force_ba_every`` pending KFs have
-    # already been skipped
+    # the pending BA (setAbortBA) unless ``force_ba_every`` consecutive KFs
+    # have already been skipped.  force_ba_every=1 never skips (defer-only;
+    # async ATE measured equal-or-better than synchronous); 2 halves BA cost
+    # under KF-heavy load at ~2× ATE on fast sequences — the reference makes
+    # the same trade through its queue<3 abort
     synchronous: bool = False
-    force_ba_every: int = 2          # run BA at least every Nth KF under load
+    force_ba_every: int = 1
 
 
 @dataclass(frozen=True)

@@ -9,11 +9,10 @@ score every hypothesis against every correspondence on one [H, N] residual
 grid, pick the argmax (SURVEY.md §2 #12-13: batched RANSAC replaces the
 sequential loop).
 
-Simplification vs the reference: the β-case search + Gauss-Newton refinement
-(PnPSolver.cc:280-395) is replaced by the β₁ single-null-vector solution with
-sign/scale fixing, because hypotheses only need to be good enough to collect
-an inlier consensus — the final pose is polished by pose-only GN anyway
-(same role as the reference's reprojection refinement after RANSAC).
+The β-case search (N = 1, 2, 3 null-vector combinations, PnPSolver.cc:280-355)
+and the Gauss-Newton β refinement (:367-395) run for every hypothesis — all
+three cases are solved vectorized and the one with the lowest reprojection
+error on the minimal set wins, mirroring the reference's case selection.
 """
 
 from __future__ import annotations
@@ -58,27 +57,100 @@ def epnp_solve(cam: CameraParams, pw: jnp.ndarray, uv: jnp.ndarray) -> Tuple[jnp
     M = jnp.concatenate([row_u, row_v], axis=0)  # [2S, 12]
     MtM = M.T @ M
     _, vecs = jnp.linalg.eigh(MtM)
-    v = vecs[:, 0]  # smallest eigenvalue → null direction
-    # reorder to 4 control points in camera frame: layout is (x1..x4, y1..y4, z1..z4)
-    ctrl_c = jnp.stack([v[0:4], v[4:8], v[8:12]], axis=1)  # [4, 3]
+    # four smallest-eigenvalue null directions, each as 4 control points
+    # [4, 3] in camera frame (layout x1..x4, y1..y4, z1..z4)
+    Vk = jnp.stack(
+        [jnp.stack([vecs[0:4, k], vecs[4:8, k], vecs[8:12, k]], axis=1) for k in range(4)]
+    )  # [4(null), 4(ctrl), 3]
 
-    # β₁ scale from control-point inter-distances + cheirality sign
-    dw = ctrl_w[1:] - ctrl_w[0]
-    dc = ctrl_c[1:] - ctrl_c[0]
-    scale = jnp.sum(jnp.linalg.norm(dw, axis=1)) / jnp.maximum(
-        jnp.sum(jnp.linalg.norm(dc, axis=1)), 1e-12
-    )
-    ctrl_c = ctrl_c * scale
-    # points must be in front of the camera: flip if mean z < 0
-    pc = alpha @ ctrl_c
-    sign = jnp.where(jnp.mean(pc[:, 2]) < 0, -1.0, 1.0)
-    ctrl_c = ctrl_c * sign
+    # pairwise control-point difference vectors for the 6 pairs
+    pi = jnp.asarray([0, 0, 0, 1, 1, 2])
+    pj = jnp.asarray([1, 2, 3, 2, 3, 3])
+    dv = Vk[:, pi] - Vk[:, pj]                          # [4, 6, 3]
+    dw_vec = ctrl_w[pi] - ctrl_w[pj]                    # [6, 3]
+    rho = jnp.sum(dw_vec * dw_vec, axis=1)              # [6] squared dists
 
-    # rigid alignment world→camera from the 4 control-point pairs
-    R, t, _ = horn_align(ctrl_w[None], ctrl_c[None], jnp.ones((1, 4)))
-    Tcw = se3.from_Rt(R[0], t[0])
-    ok = jnp.all(jnp.isfinite(Tcw)) & (eigval[0] > 1e-12)
+    # β initializations for the three null-space cases (PnPSolver.cc:280-355)
+    betas = _beta_cases(dv, rho)                        # [3, 4]
+    # Gauss-Newton refinement of each case on the distance residuals
+    # (PnPSolver.cc:367-395, 5 iterations)
+    betas = jax.vmap(lambda b: _gauss_newton_betas(b, dv, rho))(betas)
+
+    def pose_for(beta):
+        ctrl_c = jnp.einsum("k,kij->ij", beta, Vk)      # [4, 3]
+        pc = alpha @ ctrl_c
+        sign = jnp.where(jnp.mean(pc[:, 2]) < 0, -1.0, 1.0)
+        ctrl_c = ctrl_c * sign
+        R, t, _ = horn_align(ctrl_w[None], ctrl_c[None], jnp.ones((1, 4)))
+        Tcw = se3.from_Rt(R[0], t[0])
+        # reprojection error of the minimal set picks the winning case
+        pcs = se3.apply(Tcw, pw)
+        z = jnp.maximum(pcs[:, 2], 1e-6)
+        uh = fu * pcs[:, 0] / z + cx
+        vh = fv * pcs[:, 1] / z + cy
+        err = jnp.sum((uh - uv[:, 0]) ** 2 + (vh - uv[:, 1]) ** 2)
+        err = jnp.where(jnp.all(jnp.isfinite(Tcw)), err, jnp.inf)
+        return Tcw, err
+
+    Tcws, errs = jax.vmap(pose_for)(betas)
+    best = jnp.argmin(errs)
+    Tcw = Tcws[best]
+    ok = jnp.isfinite(errs[best]) & (eigval[0] > 1e-12)
     return jnp.where(ok, Tcw, jnp.eye(4)), ok
+
+
+def _beta_cases(dv: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    """β init for null-space dimensions N = 1, 2, 3 (the reference's case
+    functions, PnPSolver.cc:280-355; the classic EPnP approximations solving
+    the linearized inter-distance system).  Returns [3, 4] β rows."""
+    d = jnp.einsum("kni,lni->kln", dv, dv)  # [4, 4, 6] pairwise dot products
+
+    # case N=1: ρ = β₁² |dv1|² → β₁ = Σ|dv1||dw| / Σ|dv1|²
+    b1 = jnp.sum(jnp.sqrt(d[0, 0] * rho)) / jnp.maximum(jnp.sum(d[0, 0]), 1e-12)
+    case1 = jnp.asarray([1.0, 0.0, 0.0, 0.0]) * b1
+
+    # case N=2: unknowns (β₁₁, β₁₂, β₂₂) over 6 equations
+    L2 = jnp.stack([d[0, 0], 2.0 * d[0, 1], d[1, 1]], axis=1)  # [6, 3]
+    b2v, *_ = jnp.linalg.lstsq(L2, rho)
+    b2_0 = jnp.sqrt(jnp.abs(b2v[0]))
+    b2_1 = jnp.sqrt(jnp.abs(b2v[2])) * jnp.where(
+        jnp.sign(b2v[1]) * jnp.sign(b2v[0]) < 0, -1.0, 1.0
+    )
+    zero = jnp.zeros_like(b2_0)
+    case2 = jnp.stack([b2_0, b2_1, zero, zero])
+
+    # case N=3: unknowns (β₁₁, β₁₂, β₂₂, β₁₃, β₂₃) — B₃₃ dropped like the
+    # classic approx_3
+    L3 = jnp.stack(
+        [d[0, 0], 2.0 * d[0, 1], d[1, 1], 2.0 * d[0, 2], 2.0 * d[1, 2]], axis=1
+    )  # [6, 5]
+    b3v, *_ = jnp.linalg.lstsq(L3, rho)
+    b3_0 = jnp.sqrt(jnp.abs(b3v[0]))
+    b3_1 = jnp.sqrt(jnp.abs(b3v[2])) * jnp.where(
+        jnp.sign(b3v[1]) * jnp.sign(b3v[0]) < 0, -1.0, 1.0
+    )
+    b3_2 = b3v[3] / jnp.maximum(b3_0, 1e-12)
+    case3 = jnp.stack([b3_0, b3_1, b3_2, zero])
+    return jnp.stack([case1, case2, case3])
+
+
+def _gauss_newton_betas(beta: jnp.ndarray, dv: jnp.ndarray, rho: jnp.ndarray, iters: int = 5) -> jnp.ndarray:
+    """Refine β [4] so Σ_k (‖Σᵢ βᵢ dvᵢ‖² − ρ)² is minimized
+    (PnPSolver::GaussNewton, :367-395): residuals over the 6 control-point
+    pair distances, damped 4×4 normal-equation steps."""
+    d = jnp.einsum("kni,lni->kln", dv, dv)  # [4, 4, 6]
+
+    def step(b, _):
+        # r_n = Σ_{k,l} b_k b_l d[k,l,n] − ρ_n ; ∂r/∂b_k = 2 Σ_l b_l d[k,l,n]
+        r = jnp.einsum("k,l,kln->n", b, b, d) - rho        # [6]
+        J = 2.0 * jnp.einsum("l,kln->nk", b, d)            # [6, 4]
+        H = J.T @ J + 1e-9 * jnp.eye(4)
+        g = J.T @ r
+        db = jnp.linalg.solve(H, g)
+        return b - db, None
+
+    beta, _ = jax.lax.scan(step, beta, None, length=iters)
+    return beta
 
 
 def ransac_pnp(

@@ -52,12 +52,14 @@ def test_loop_closure_on_circle(cfg):
     assert slam.n_keyframes >= 5
     ate = ate_rmse(est, gt)
     circumference = 2 * np.pi * 4.0
-    # trajectory quality after (potential) loop closure: generous bound —
-    # the assertion of interest is that the full pipeline runs end to end
-    assert ate < 0.08 * circumference, f"ATE {ate:.3f} over {circumference:.1f} m"
+    # trajectory quality after loop closure (round-2 pipeline measures ~3.0%
+    # of the circumference; bound leaves margin for seed drift)
+    assert ate < 0.05 * circumference, f"ATE {ate:.3f} over {circumference:.1f} m"
+    # at least one loop must actually close on a closed circle
+    assert getattr(slam, "loops_closed", 0) >= 1
     # final pose should be near the start (closed loop) — compare relative to
     # each trajectory's own start frame (SLAM's world = first camera)
     rel_est = np.linalg.inv(est[0]) @ est[-1]
     rel_gt = np.linalg.inv(gt[0]) @ gt[-1]
     d_end = np.linalg.norm(rel_est[:3, 3] - rel_gt[:3, 3])
-    assert d_end < 2.0, f"endpoint error {d_end:.2f} m"
+    assert d_end < 1.5, f"endpoint error {d_end:.2f} m"

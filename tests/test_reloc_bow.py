@@ -77,6 +77,27 @@ class TestEPnP:
         err = np.asarray(se3.log(Tcw @ se3.inverse(Tcw_gt)))
         assert np.linalg.norm(err[:3]) < 0.05, err
 
+    def test_epnp_planar_scene(self):
+        """Near-planar world points leave a >1-dimensional M null space —
+        the β-case search (N=2/3 combinations, reference PnPSolver.cc:280-355)
+        must still recover the pose where the β₁-only solution degrades."""
+        r = np.random.default_rng(11)
+        cfg = CameraConfig(fx=400.0, fy=400.0, cx=320.0, cy=240.0, baseline=0.5,
+                           width=640, height=480)
+        cam = CameraParams.from_config(cfg)
+        Tcw_gt = se3.exp(jnp.asarray([0.2, -0.1, 0.4, 0.08, -0.03, 0.15], jnp.float32))
+        n = 8
+        pw = np.stack([
+            r.uniform(-4, 4, n), r.uniform(-2.5, 2.5, n),
+            np.full(n, 9.0) + r.normal(0, 1e-3, n),  # a plane
+        ], 1).astype(np.float32)
+        pc = se3.apply(Tcw_gt, jnp.asarray(pw))
+        uv, _ = project(cam, pc)
+        Tcw, ok = epnp_solve(cam, jnp.asarray(pw), jnp.asarray(np.asarray(uv)))
+        assert bool(ok)
+        err = np.asarray(se3.log(Tcw @ se3.inverse(Tcw_gt)))
+        assert np.linalg.norm(err[:3]) < 0.08, err
+
     def test_ransac_with_outliers(self):
         cam, Tcw_gt, pw, uv, n_out = self.setup(n=120, outlier_frac=0.3)
         key = jax.random.PRNGKey(0)
