@@ -228,6 +228,11 @@ def main(argv=None):
         "mappoints": slam.n_mappoints,
         "loops_closed": getattr(slam, "loops_closed", 0),
     }
+    ft = getattr(slam, "frame_times_ms", [])
+    if len(ft) > 4:  # §5.1: per-frame timing (excludes compile-heavy first frames)
+        steady = np.asarray(ft[4:])
+        out["frame_ms_median"] = round(float(np.median(steady)), 1)
+        out["frame_ms_p90"] = round(float(np.percentile(steady, 90)), 1)
     if gt is not None and len(tracked) > len(poses) // 2:
         pairs = [(p_, g) for p_, g in zip(poses, gt) if p_ is not None and g is not None]
         if len(pairs) >= 3:

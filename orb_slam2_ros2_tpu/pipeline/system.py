@@ -474,6 +474,9 @@ class SLAM:
         # System.h:55-61)
         self.profile = False
         self.stage_times: dict = {}
+        # always-on per-frame wall-time log (no extra syncs — measured around
+        # the frame's one host fetch), the reference's per-frame ms counter
+        self.frame_times_ms: list = []
 
     # ------------------------------------------------------------------
     def _timed(self, name, fn, *args):
@@ -489,6 +492,15 @@ class SLAM:
 
     def track(self, img_left, img_right) -> Tuple[Optional[np.ndarray], dict]:
         """Feed one stereo pair (or RGB + depth map in rgbd mode)."""
+        import time as _time
+
+        t_frame0 = _time.perf_counter()
+        try:
+            return self._track_impl(img_left, img_right)
+        finally:
+            self.frame_times_ms.append((_time.perf_counter() - t_frame0) * 1000.0)
+
+    def _track_impl(self, img_left, img_right) -> Tuple[Optional[np.ndarray], dict]:
         fid = self.frame_id
         self.frame_id += 1
 
