@@ -90,3 +90,32 @@ def test_localization_only_reuse(built, cfg):
     imgL, imgR, _ = ds.frame(i + 1)
     slam2.track(imgL, imgR)
     assert slam2.n_keyframes == n_kf_before
+
+
+def test_proto_localization_reuse(built, cfg, tmp_path):
+    """The reference-format protobuf map supports the same localization-only
+    reuse (OnlyTracking + Map.LoadMap on a .pb map, reference
+    config/kitti_config_00.yaml:44-49 + Map.cc:252-319)."""
+    path, slam, ds, gts = built
+    pb_path = str(tmp_path / "map.pb")
+    slam.save(pb_path)
+
+    cfg2 = cfg.replace(tracking=cfg.tracking.__class__(
+        min_init_depth_kps=120, max_local_mappoints=4096, max_local_keyframes=16,
+        only_tracking=True,
+    ))
+    slam2 = SLAM(cfg2)
+    slam2.load(pb_path)
+    assert slam2.n_keyframes == slam.n_keyframes
+    assert slam2.loop_closer is not None  # KFDB rebuilt from resolved vocab
+
+    relocalized = False
+    for i in [10, 12, 14, 16]:
+        imgL, imgR, _ = ds.frame(i)
+        Tcw, info = slam2.track(imgL, imgR)
+        if Tcw is not None:
+            relocalized = True
+            err = np.linalg.norm(Tcw[:3, 3] - gts[i][0][:3, 3])
+            assert err < 0.5, f"reloc pose error {err:.2f} m at frame {i}"
+            break
+    assert relocalized, "relocalization never succeeded on the protobuf map"
