@@ -107,7 +107,8 @@ def _train_vocab(args):
     cam = CameraParams.from_config(cfg.camera)
     frontend = jax.jit(make_stereo_frontend(cfg))
     descs = []
-    for i in range(args.frames):
+    n_frames = min(args.frames, len(ds)) if args.seq else args.frames
+    for i in range(n_frames):
         if args.seq:
             left, right, _ = ds.frame(i)
             frames = [(jnp.asarray(left), jnp.asarray(right))]

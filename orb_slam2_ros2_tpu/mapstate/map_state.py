@@ -168,6 +168,15 @@ def merge_mappoints(state: MapState, winner: jnp.ndarray, loser: jnp.ndarray, ma
     N = state.kf_uv.shape[1]
     O = state.mp_obs_kf.shape[1]
     live = mask & (winner != loser) & (winner >= 0) & (loser >= 0)
+    # one merge per loser: a loser appearing in several rows would transfer
+    # its observation list to EVERY winner while each keyframe slot repoints
+    # to only one — keep the first row, drop the rest
+    B = winner.shape[0]
+    row_ids = jnp.arange(B)
+    first_row = jnp.full((M + 1,), B, jnp.int32).at[
+        jnp.where(live, loser, M)
+    ].min(row_ids, mode="drop")
+    live = live & (first_row[jnp.clip(loser, 0, M - 1)] == row_ids)
     lid = jnp.where(live, loser, M)
     lcl = jnp.clip(lid, 0, M - 1)
     wcl = jnp.clip(jnp.where(live, winner, M), 0, M - 1)

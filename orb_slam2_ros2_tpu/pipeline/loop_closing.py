@@ -188,8 +188,14 @@ def search_by_sim3_pair(
     fill_f = ~ok2 & fwd.found
     bj2 = jnp.where(fill_f, fwd.idx, bj2)
     ok2 = ok2 | fill_f
-    # backward: per-cur-feature pick the claiming cand feature with min dist
-    brow = jnp.where(bwd.found, bwd.idx, N)                # cur feature claimed
+    # backward: per-cur-feature pick the claiming cand feature with min dist,
+    # excluding cand features already taken by existing/forward matches —
+    # without this, one cand feature (and its map point) can be assigned to
+    # two current features, breaking the one-MP-per-KF invariant downstream
+    # (the reference's agreement check, ORBMatcher.cc:476-481)
+    used_cand = jnp.zeros((N + 1,), bool).at[jnp.where(ok2, bj2, N)].set(True, mode="drop")
+    bwd_found = bwd.found & ~used_cand[:N]
+    brow = jnp.where(bwd_found, bwd.idx, N)                # cur feature claimed
     key = jnp.minimum(bwd.dist, 300) * (N + 1) + jnp.arange(N)
     best_key = jnp.full((N + 1,), jnp.iinfo(jnp.int32).max).at[brow].min(key)
     claimed = best_key[:N] < jnp.iinfo(jnp.int32).max
@@ -303,7 +309,14 @@ def search_loop_group_projection(
     in_area = (du <= r[:, None]) & (dv <= r[:, None])
     oct_ok = (cur_oct[None, :] >= (lvl - 1)[:, None]) & (cur_oct[None, :] <= (lvl + 1)[:, None])
     q_ok = fresh & in_front & in_img & dist_ok & angle_ok
-    cand = in_area & oct_ok & state.kf_feat_valid[kf_cur][None, :] & q_ok[:, None]
+    # features already carrying a verified (stage-B) match are off limits —
+    # the reference's SearchByProjection skips vpMatched-set slots
+    # (ORBMatcher.cc:515-517)
+    free_feat = matched_mp < 0
+    cand = (
+        in_area & oct_ok & state.kf_feat_valid[kf_cur][None, :]
+        & free_feat[None, :] & q_ok[:, None]
+    )
 
     Dm = hamming_matrix(group.desc, state.kf_desc[kf_cur])
     m = best_match(Dm, cand, max_dist, ratio)
@@ -731,16 +744,19 @@ def optimize_essential(
         lambda a, b: jnp.concatenate([a, b]), S_meas, S_meas_new
     )
 
-    # the loop edge gets its measured constraint S12: S_cur←cand
-    # appended at the reserved slot (last): e = (cand → cur) with S12 relative
-    ei = ei.at[-1].set(kf_cand)
-    ej = ej.at[-1].set(kf_cur)
+    # the loop edge gets its measured constraint S12: S_cur←cand, written at
+    # the slot collect_essential_edges RESERVED (the last slot of its own
+    # block) — writing at -1 would clobber the weakest new-connection slot
+    # above when all max_new_conn slots are in use
+    res = max_edges - max_new_conn - 1
+    ei = ei.at[res].set(kf_cand)
+    ej = ej.at[res].set(kf_cur)
     S_meas = sim3.Sim3(
-        R=S_meas.R.at[-1].set(S12.R),
-        t=S_meas.t.at[-1].set(S12.t),
-        s=S_meas.s.at[-1].set(S12.s),
+        R=S_meas.R.at[res].set(S12.R),
+        t=S_meas.t.at[res].set(S12.t),
+        s=S_meas.s.at[res].set(S12.s),
     )
-    ew = ew.at[-1].set(1.0)
+    ew = ew.at[res].set(1.0)
     valid_e = (ei >= 0) & (ej >= 0)
     fixed = jnp.zeros((K,), bool).at[kf_cand].set(True) | ~state.kf_valid
     prob = PoseGraphProblem(

@@ -35,8 +35,12 @@ def epnp_solve(cam: CameraParams, pw: jnp.ndarray, uv: jnp.ndarray) -> Tuple[jnp
     centered = pw - c0
     cov = centered.T @ centered / S
     eigval, eigvec = jnp.linalg.eigh(cov)
-    # scale axes by sqrt eigenvalue (largest last); guard degeneracy
-    axes = eigvec * jnp.sqrt(jnp.maximum(eigval, 1e-9))[None, :]
+    # scale axes by sqrt eigenvalue (largest last).  An exactly planar set
+    # has eigval[0] == 0; give that axis a small relative extent so the
+    # barycentric system stays invertible — the β-case search (N=2/3)
+    # handles the enlarged null space the flat geometry induces
+    floor = 0.25 * jnp.maximum(eigval[2], 1e-9)
+    axes = eigvec * jnp.sqrt(jnp.maximum(eigval, floor))[None, :]
     ctrl_w = jnp.concatenate([c0[None], c0[None] + axes.T], axis=0)  # [4, 3]
 
     # barycentric coordinates (PnPSolver.cc:185-212): pw = Σ α_i ctrl_i
@@ -55,12 +59,20 @@ def epnp_solve(cam: CameraParams, pw: jnp.ndarray, uv: jnp.ndarray) -> Tuple[jnp
         [jnp.zeros_like(a), a * fv, a * (cy - uv[:, 1:2])], axis=1
     )
     M = jnp.concatenate([row_u, row_v], axis=0)  # [2S, 12]
-    MtM = M.T @ M
-    _, vecs = jnp.linalg.eigh(MtM)
-    # four smallest-eigenvalue null directions, each as 4 control points
+    # SVD of M itself, NOT eigh(MᵀM): squaring doubles the condition number
+    # and in f32 the noise floor (~1e-6·σ_max²) swamps the true null
+    # eigenvalue, returning a garbage direction as "smallest" (observed on
+    # planar scenes).  Small-matrix SVD is acceptable here — relocalization
+    # runs only from LOST (PnPSolver.cc:249-272 uses the same eigen-of-MtM in
+    # f64, which we don't have).
+    _, _, vt = jnp.linalg.svd(M, full_matrices=True)
+    # four smallest-singular-value directions, each as 4 control points
     # [4, 3] in camera frame (layout x1..x4, y1..y4, z1..z4)
     Vk = jnp.stack(
-        [jnp.stack([vecs[0:4, k], vecs[4:8, k], vecs[8:12, k]], axis=1) for k in range(4)]
+        [
+            jnp.stack([vt[11 - k, 0:4], vt[11 - k, 4:8], vt[11 - k, 8:12]], axis=1)
+            for k in range(4)
+        ]
     )  # [4(null), 4(ctrl), 3]
 
     # pairwise control-point difference vectors for the 6 pairs
@@ -95,7 +107,9 @@ def epnp_solve(cam: CameraParams, pw: jnp.ndarray, uv: jnp.ndarray) -> Tuple[jnp
     Tcws, errs = jax.vmap(pose_for)(betas)
     best = jnp.argmin(errs)
     Tcw = Tcws[best]
-    ok = jnp.isfinite(errs[best]) & (eigval[0] > 1e-12)
+    # reject collinear/point-degenerate sets (eigval[1] ~ 0) but ACCEPT
+    # planar ones (only eigval[0] = 0) — the β cases cover those
+    ok = jnp.isfinite(errs[best]) & (eigval[1] > 1e-9 * jnp.maximum(eigval[2], 1e-12))
     return jnp.where(ok, Tcw, jnp.eye(4)), ok
 
 

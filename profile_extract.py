@@ -111,18 +111,13 @@ def main():
         return brief.orientations(p)
     scan_time(upto_orient, (stack_l, stack_r), "S4 +moments")
 
-    def upto_blur(x):
-        p = upto_patches(x)
-        a = brief.orientations(p)
-        return brief.blur_patches(p), a
-    scan_time(upto_blur, (stack_l, stack_r), "S5 +blur")
-
     def upto_desc(x):
+        # describe() folds the pre-compare blur into its sampling matrix —
+        # matches the production extractor (features/extractor.py)
         p = upto_patches(x)
         a = brief.orientations(p)
-        pb = brief.blur_patches(p)
-        return brief.describe(pb, a)
-    scan_time(upto_desc, (stack_l, stack_r), "S6 +describe")
+        return brief.describe(p, a)
+    scan_time(upto_desc, (stack_l, stack_r), "S5 +describe (blur folded)")
 
 if __name__ == "__main__":
     main()

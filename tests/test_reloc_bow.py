@@ -89,7 +89,7 @@ class TestEPnP:
         n = 8
         pw = np.stack([
             r.uniform(-4, 4, n), r.uniform(-2.5, 2.5, n),
-            np.full(n, 9.0) + r.normal(0, 1e-3, n),  # a plane
+            np.full(n, 9.0),  # an exact plane (covariance eigval[0] = 0)
         ], 1).astype(np.float32)
         pc = se3.apply(Tcw_gt, jnp.asarray(pw))
         uv, _ = project(cam, pc)
