@@ -241,7 +241,27 @@ def slam_track_step(
 STAT_KEYS = (
     "n_motion_matches", "n_motion_inliers", "n_localmap_matches",
     "n_tracked", "n_inliers", "n_close_tracked", "n_close_untracked",
+    "best_ref_kf",
 )
+
+
+def _best_ref_kf(state: MapState, mp_ids: jnp.ndarray) -> jnp.ndarray:
+    """Keyframe sharing the most currently-tracked map points.
+
+    The only-tracking reference-KF reselection (reference Map::getTrackingRef,
+    Map.cc:176-197, called from Tracking.cc:149-154): as the camera moves
+    through a prebuilt map with no keyframe insertion, the tracking reference
+    must slide along the trajectory.  The reference approximates 'best' with a
+    BoW-similarity scan over a ±3-id window; here the observation lists of the
+    tracked points are scatter-counted in one batched op and the argmax KF
+    wins — global, not windowed."""
+    M, K = state.mp_capacity, state.kf_capacity
+    tracked = mp_ids >= 0
+    obs_kf = state.mp_obs_kf[jnp.clip(mp_ids, 0, M - 1)]            # [N, O]
+    src = jnp.where(tracked[:, None] & (obs_kf >= 0), obs_kf, K)
+    counts = jnp.zeros((K + 1,), jnp.int32).at[src.reshape(-1)].add(1, mode="drop")[:K]
+    counts = jnp.where(state.kf_valid, counts, -1)
+    return jnp.argmax(counts).astype(jnp.float32)
 
 
 def reloc_project_augment(
@@ -324,11 +344,6 @@ class SLAM:
             min_motion_matches=t.min_motion_matches,
             pose_rounds=b.pose_rounds, pose_iters=b.pose_iters_per_round,
         )
-        self._track = jax.jit(partial(slam_track_step, proj_th=3.0, **track_common))
-        # widened local-map search for the 2 frames after a relocalization
-        # (reference trackLocalMap th=5, Tracking.cc:646-648)
-        self._track_reloc = jax.jit(partial(slam_track_step, proj_th=5.0, **track_common))
-
         # ---- fused per-frame program: frontend + track + counter bump -----
         # On a tunnelled TPU every DEPENDENT dispatch serializes with a full
         # network round-trip (~33 ms measured), so the steady-state frame
@@ -344,6 +359,13 @@ class SLAM:
                 mapstate.mp_pos, mapstate.mp_valid, proj_th=proj_th, **track_common,
             )
             mapstate2 = bump_tracking_counters(mapstate, local, visible, found)
+            # best-ref-kf rides the same host vector (one transfer per frame);
+            # inserted before the 16 pose entries
+            best_ref = _best_ref_kf(mapstate2, new_state.mp_ids)
+            n_stat = host_vec.shape[0] - 16
+            host_vec = jnp.concatenate(
+                [host_vec[:n_stat], best_ref[None], host_vec[n_stat:]]
+            )
             return new_state, velocity2, host_vec, mapstate2
 
         self._frame = jax.jit(partial(_frame_program, proj_th=3.0), donate_argnums=(6,))
@@ -490,11 +512,26 @@ class SLAM:
         self.stage_times.setdefault(name, []).append(_time.perf_counter() - t0)
         return out
 
+    def _to_gray(self, img):
+        """Color-mode conversion (reference Tracking.cc:52-68): cfg.camera.color
+        selects 0 = already grayscale, 1 = RGB, 2 = BGR; 3-channel inputs are
+        reduced with the ITU-R 601 luma weights cv::cvtColor uses."""
+        a = np.asarray(img)
+        if a.ndim == 2:
+            return img
+        w = np.asarray([0.299, 0.587, 0.114], np.float32)
+        if self.cfg.camera.color == 2:
+            w = w[::-1].copy()
+        return (a[..., :3].astype(np.float32) @ w)
+
     def track(self, img_left, img_right) -> Tuple[Optional[np.ndarray], dict]:
         """Feed one stereo pair (or RGB + depth map in rgbd mode)."""
         import time as _time
 
         t_frame0 = _time.perf_counter()
+        img_left = self._to_gray(img_left)
+        if not self.rgbd:  # in rgbd mode img_right is the depth map
+            img_right = self._to_gray(img_right)
         try:
             return self._track_impl(img_left, img_right)
         finally:
@@ -553,6 +590,16 @@ class SLAM:
         self.last = new_state
         self.velocity = velocity
         self.frames_since_kf += 1
+
+        if t.only_tracking and not weak:
+            # only-tracking mode inserts no keyframes, so the reference KF and
+            # local map must slide along the prebuilt map as the camera moves
+            # (reference Map::getTrackingRef, Map.cc:176-197); refresh only on
+            # change — one async dispatch, no host sync
+            best = stats["best_ref_kf"]
+            if best >= 0 and best != self.ref_kf:
+                self.ref_kf = best
+                self.local = self._snapshot(self.map, jnp.asarray(best))
 
         if self._need_keyframe(stats):
             self._insert_and_map(new_state, fid, stats)

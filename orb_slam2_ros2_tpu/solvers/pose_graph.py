@@ -8,10 +8,17 @@ from the poses at correction time; 20 GN iterations; afterwards map points
 are corrected via S_wc_new ∘ S_cw_old.
 
 TPU design: edges live in padded arrays; residual e = log_sim3(S_meas ∘ S_j ∘
-S_i⁻¹) with exact Jacobians from ``jax.jacfwd`` batched over all edges; the
-normal system H (7K × 7K dense) is assembled by scatter-adding 7×7 blocks
-and solved with one dense Cholesky — at K ≤ 1024 keyframes this is a ≤
-7168-dim SPD solve, comfortably on-chip (cheaper than sparse bookkeeping).
+S_i⁻¹) with exact Jacobians from ``jax.jacfwd`` batched over all edges.  Two
+normal-equation solvers behind one entry point, chosen by the (static) vertex
+count:
+
+* K ≤ ``DENSE_MAX_K``: assemble the dense 7K×7K H by scatter-adding 7×7
+  blocks and solve with one Cholesky — cheapest at small graphs.
+* K > ``DENSE_MAX_K``: matrix-free preconditioned CG.  The H·x product is two
+  edge-local 7×7 einsums plus a one-hot scatter matmul (no H is ever
+  materialized: O(E·49) memory instead of O((7K)²)), preconditioned with the
+  inverted block diagonal.  This removes the (7K)² ceiling — K = 10⁴ vertices
+  costs ~25 MB of edge Jacobians instead of a 20 GB Hessian.
 """
 
 from __future__ import annotations
@@ -51,73 +58,146 @@ def _edge_residual(xi_i, xi_j, Si, Sj, Sji_meas):
     return sim3.log(E)
 
 
+DENSE_MAX_K = 256
+
+
+def _linearize(prob: PoseGraphProblem, S: sim3.Sim3):
+    """Residual + per-edge Jacobians, masked for invalid edges and fixed
+    vertices.  Returns (r [E,7], Ji [E,7,7], Jj [E,7,7], w [E])."""
+    zero7 = jnp.zeros(7)
+    Si = jax.tree.map(lambda a: a[prob.edge_i], S)
+    Sj = jax.tree.map(lambda a: a[prob.edge_j], S)
+
+    res_fn = lambda xi_i, xi_j, si_R, si_t, si_s, sj_R, sj_t, sj_s, m_R, m_t, m_s: _edge_residual(
+        xi_i, xi_j,
+        sim3.Sim3(si_R, si_t, si_s), sim3.Sim3(sj_R, sj_t, sj_s),
+        sim3.Sim3(m_R, m_t, m_s),
+    )
+    in_ax = (None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    edge_args = (Si.R, Si.t, Si.s, Sj.R, Sj.t, Sj.s,
+                 prob.edge_Sji.R, prob.edge_Sji.t, prob.edge_Sji.s)
+    r = jax.vmap(res_fn, in_axes=in_ax)(zero7, zero7, *edge_args)          # [E, 7]
+    Ji = jax.vmap(jax.jacfwd(res_fn, argnums=0), in_axes=in_ax)(zero7, zero7, *edge_args)
+    Jj = jax.vmap(jax.jacfwd(res_fn, argnums=1), in_axes=in_ax)(zero7, zero7, *edge_args)
+
+    w = prob.edge_valid.astype(jnp.float32) * prob.edge_weight
+    free_i = ~prob.kf_fixed[prob.edge_i]
+    free_j = ~prob.kf_fixed[prob.edge_j]
+    Ji = jnp.where((free_i & prob.edge_valid)[:, None, None], Ji, 0.0)
+    Jj = jnp.where((free_j & prob.edge_valid)[:, None, None], Jj, 0.0)
+    return r, Ji, Jj, w
+
+
+def _finish_step(prob: PoseGraphProblem, S: sim3.Sim3, dx: jnp.ndarray) -> sim3.Sim3:
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+    dx = jnp.where((prob.kf_fixed | ~prob.kf_valid)[:, None], 0.0, dx)
+    return sim3.compose(sim3.exp(dx), S)
+
+
+def _gn_step_dense(prob: PoseGraphProblem, S: sim3.Sim3, damping: float) -> sim3.Sim3:
+    K = prob.kf_valid.shape[0]
+    D = 7 * K
+    r, Ji, Jj, w = _linearize(prob, S)
+
+    # assemble dense H [K, 7, K, 7] and b [K, 7] by block scatter-add
+    Hii = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
+    Hjj = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
+    Hij = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
+    b_i = jnp.einsum("eki,e,ek->ei", Ji, w, r)
+    b_j = jnp.einsum("eki,e,ek->ei", Jj, w, r)
+
+    ei = jnp.where(prob.edge_valid, prob.edge_i, K)
+    ej = jnp.where(prob.edge_valid, prob.edge_j, K)
+    H = jnp.zeros((K + 1, 7, K + 1, 7))
+    H = H.at[ei, :, ei, :].add(Hii, mode="drop")
+    H = H.at[ej, :, ej, :].add(Hjj, mode="drop")
+    H = H.at[ei, :, ej, :].add(Hij, mode="drop")
+    H = H.at[ej, :, ei, :].add(jnp.swapaxes(Hij, -1, -2), mode="drop")
+    b = jnp.zeros((K + 1, 7)).at[ei].add(b_i, mode="drop").at[ej].add(b_j, mode="drop")
+
+    H = H[:K, :, :K, :].reshape(D, D)
+    b = b[:K].reshape(D)
+
+    # anchor fixed/invalid vertices
+    anchor = (prob.kf_fixed | ~prob.kf_valid).astype(jnp.float32)
+    diag_anchor = jnp.repeat(anchor, 7)
+    H = H + jnp.diag(diag_anchor * 1e6 + damping)
+
+    L, low = jax.scipy.linalg.cho_factor(H + 1e-8 * jnp.eye(D))
+    dx = -jax.scipy.linalg.cho_solve((L, low), b)
+    return _finish_step(prob, S, dx.reshape(K, 7))
+
+
+def _gn_step_pcg(
+    prob: PoseGraphProblem,
+    S: sim3.Sim3,
+    damping: float,
+    Pi: jnp.ndarray,
+    Pj: jnp.ndarray,
+    cg_iters: int,
+) -> sim3.Sim3:
+    """Matrix-free normal-equation solve: H is applied edge-wise, never built.
+
+    ``Pi``/``Pj`` are f32 one-hot scatter matrices [E, K] (edge endpoint →
+    vertex); scatter = one matmul on the MXU instead of a TPU scatter-add.
+    """
+    r, Ji, Jj, w = _linearize(prob, S)
+    anchor = (prob.kf_fixed | ~prob.kf_valid).astype(jnp.float32)
+    diag = anchor * 1e6 + damping                                  # [K]
+
+    wJi = w[:, None, None] * Ji
+    bi = jnp.einsum("eki,ek->ei", wJi, r)                          # [E, 7]
+    bj = jnp.einsum("eki,ek->ei", w[:, None, None] * Jj, r)        # [E, 7]
+    b = Pi.T @ bi + Pj.T @ bj                                      # [K, 7]
+
+    def Hx(x):                                                     # x: [K, 7]
+        xi = x[prob.edge_i]
+        xj = x[prob.edge_j]
+        ye = jnp.einsum("eij,ej->ei", Ji, xi) + jnp.einsum("eij,ej->ei", Jj, xj)
+        ye = w[:, None] * ye
+        gi = jnp.einsum("eij,ei->ej", Ji, ye)
+        gj = jnp.einsum("eij,ei->ej", Jj, ye)
+        return Pi.T @ gi + Pj.T @ gj + diag[:, None] * x
+
+    # block-Jacobi preconditioner: inverted 7×7 diagonal blocks
+    Hii = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
+    Hjj = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
+    Hd = (
+        jnp.einsum("ek,eij->kij", Pi, Hii)
+        + jnp.einsum("ek,eij->kij", Pj, Hjj)
+        + (diag + 1e-8)[:, None, None] * jnp.eye(7)[None]
+    )
+    Hd_inv = jnp.linalg.inv(Hd)
+    precond = lambda x: jnp.einsum("kij,kj->ki", Hd_inv, x)
+
+    dx, _ = jax.scipy.sparse.linalg.cg(Hx, -b, M=precond, maxiter=cg_iters, tol=1e-6)
+    return _finish_step(prob, S, dx)
+
+
 def optimize_pose_graph(
     prob: PoseGraphProblem,
     *,
     iters: int = 20,
     damping: float = 1e-6,
+    cg_iters: int = 150,
+    dense_max_k: int = DENSE_MAX_K,
 ) -> sim3.Sim3:
-    """Batched GN over the whole graph; returns optimized S_cw."""
+    """Batched GN over the whole graph; returns optimized S_cw.
+
+    Dispatches on the static vertex count: dense Cholesky for small graphs,
+    matrix-free PCG (no (7K)² Hessian) beyond ``dense_max_k``.
+    """
     K = prob.kf_valid.shape[0]
-    E = prob.edge_i.shape[0]
-    D = 7 * K
 
-    zero7 = jnp.zeros(7)
-
-    def gn_step(_, S_flat):
-        S = S_flat
-        Si = jax.tree.map(lambda a: a[prob.edge_i], S)
-        Sj = jax.tree.map(lambda a: a[prob.edge_j], S)
-
-        res_fn = lambda xi_i, xi_j, si_R, si_t, si_s, sj_R, sj_t, sj_s, m_R, m_t, m_s: _edge_residual(
-            xi_i, xi_j,
-            sim3.Sim3(si_R, si_t, si_s), sim3.Sim3(sj_R, sj_t, sj_s),
-            sim3.Sim3(m_R, m_t, m_s),
+    if K <= dense_max_k:
+        step = lambda _, S: _gn_step_dense(prob, S, damping)
+    else:
+        valid_f = prob.edge_valid.astype(jnp.float32)[:, None]
+        one_hot = lambda idx: (
+            (idx[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * valid_f
         )
-        batched = jax.vmap(res_fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0))
-        r = batched(zero7, zero7, Si.R, Si.t, Si.s, Sj.R, Sj.t, Sj.s,
-                    prob.edge_Sji.R, prob.edge_Sji.t, prob.edge_Sji.s)   # [E, 7]
-        Ji = jax.vmap(jax.jacfwd(res_fn, argnums=0), in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
-            zero7, zero7, Si.R, Si.t, Si.s, Sj.R, Sj.t, Sj.s,
-            prob.edge_Sji.R, prob.edge_Sji.t, prob.edge_Sji.s)           # [E, 7, 7]
-        Jj = jax.vmap(jax.jacfwd(res_fn, argnums=1), in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
-            zero7, zero7, Si.R, Si.t, Si.s, Sj.R, Sj.t, Sj.s,
-            prob.edge_Sji.R, prob.edge_Sji.t, prob.edge_Sji.s)
+        Pi = one_hot(prob.edge_i)
+        Pj = one_hot(prob.edge_j)
+        step = lambda _, S: _gn_step_pcg(prob, S, damping, Pi, Pj, cg_iters)
 
-        w = prob.edge_valid.astype(jnp.float32) * prob.edge_weight
-        free_i = ~prob.kf_fixed[prob.edge_i]
-        free_j = ~prob.kf_fixed[prob.edge_j]
-        Ji = jnp.where((free_i & prob.edge_valid)[:, None, None], Ji, 0.0)
-        Jj = jnp.where((free_j & prob.edge_valid)[:, None, None], Jj, 0.0)
-
-        # assemble dense H [K, 7, K, 7] and b [K, 7] by block scatter-add
-        Hii = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
-        Hjj = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
-        Hij = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
-        b_i = jnp.einsum("eki,e,ek->ei", Ji, w, r)
-        b_j = jnp.einsum("eki,e,ek->ei", Jj, w, r)
-
-        ei = jnp.where(prob.edge_valid, prob.edge_i, K)
-        ej = jnp.where(prob.edge_valid, prob.edge_j, K)
-        H = jnp.zeros((K + 1, 7, K + 1, 7))
-        H = H.at[ei, :, ei, :].add(Hii, mode="drop")
-        H = H.at[ej, :, ej, :].add(Hjj, mode="drop")
-        H = H.at[ei, :, ej, :].add(Hij, mode="drop")
-        H = H.at[ej, :, ei, :].add(jnp.swapaxes(Hij, -1, -2), mode="drop")
-        b = jnp.zeros((K + 1, 7)).at[ei].add(b_i, mode="drop").at[ej].add(b_j, mode="drop")
-
-        H = H[:K, :, :K, :].reshape(D, D)
-        b = b[:K].reshape(D)
-
-        # anchor fixed/invalid vertices
-        anchor = (prob.kf_fixed | ~prob.kf_valid).astype(jnp.float32)
-        diag_anchor = jnp.repeat(anchor, 7)
-        H = H + jnp.diag(diag_anchor * 1e6 + damping)
-
-        L, low = jax.scipy.linalg.cho_factor(H + 1e-8 * jnp.eye(D))
-        dx = -jax.scipy.linalg.cho_solve((L, low), b)
-        dx = jnp.where(jnp.isfinite(dx), dx, 0.0).reshape(K, 7)
-        dx = jnp.where((prob.kf_fixed | ~prob.kf_valid)[:, None], 0.0, dx)
-        return sim3.compose(sim3.exp(dx), S)
-
-    return jax.lax.fori_loop(0, iters, gn_step, prob.S_cw)
+    return jax.lax.fori_loop(0, iters, step, prob.S_cw)

@@ -119,3 +119,31 @@ def test_proto_localization_reuse(built, cfg, tmp_path):
             assert err < 0.5, f"reloc pose error {err:.2f} m at frame {i}"
             break
     assert relocalized, "relocalization never succeeded on the protobuf map"
+
+
+def test_only_tracking_ref_slides(built, cfg):
+    """Only-tracking over the WHOLE mapped trajectory: with no keyframe
+    insertion the tracking reference must slide along the prebuilt map
+    (reference Map::getTrackingRef, Map.cc:176-197) — a stale local map
+    would lose tracking as the camera leaves the reloc neighbourhood."""
+    path, _, ds, gts = built
+    cfg2 = cfg.replace(tracking=cfg.tracking.__class__(
+        min_init_depth_kps=120, max_local_mappoints=4096, max_local_keyframes=16,
+        only_tracking=True,
+    ))
+    slam2 = SLAM(cfg2)
+    slam2.load(path)
+
+    tracked = 0
+    refs = set()
+    last_err = None
+    for i in range(2, 25):
+        imgL, imgR, Twc_gt = ds.frame(i)
+        Tcw, info = slam2.track(imgL, imgR)
+        if Tcw is not None:
+            tracked += 1
+            refs.add(slam2.ref_kf)
+            last_err = np.linalg.norm(Tcw[:3, 3] - gts[i][0][:3, 3])
+    assert tracked >= 18, f"tracked only {tracked}/23 frames in only-tracking"
+    assert len(refs) >= 2, f"reference KF never slid (refs={refs})"
+    assert last_err is not None and last_err < 0.5, f"end-of-map pose error {last_err}"

@@ -70,6 +70,42 @@ class TestSim3:
         assert int(n_in) == n
 
 
+def _drift_chain_problem(K=24, seed=3):
+    """Chain of K poses with accumulated drift + a loop edge from the last
+    back to the first carrying the TRUE relative pose."""
+    r = np.random.default_rng(seed)
+    gt = [np.eye(4, dtype=np.float32)]
+    step = np.asarray(se3.exp(jnp.asarray([0.5, 0, 0.05, 0, 0.26, 0], jnp.float32)))
+    for i in range(1, K):
+        gt.append((step @ gt[-1]).astype(np.float32))
+    gt = np.stack(gt)
+    est = [gt[0]]
+    for i in range(1, K):
+        noise = se3.exp(jnp.asarray(np.concatenate([r.normal(0, 0.02, 3), r.normal(0, 0.005, 3)]), jnp.float32))
+        rel = step @ np.asarray(noise)
+        est.append((rel @ est[-1]).astype(np.float32))
+    est = np.stack(est)
+
+    S_est = sim3.from_se3(jnp.asarray(est))
+    ei = jnp.asarray(list(range(K - 1)) + [0], jnp.int32)
+    ej = jnp.asarray(list(range(1, K)) + [K - 1], jnp.int32)
+    S_meas = make_relative_measurements(S_est, ei, ej)
+    S_gt_all = sim3.from_se3(jnp.asarray(gt))
+    true_rel = make_relative_measurements(S_gt_all, jnp.asarray([0]), jnp.asarray([K - 1]))
+    S_meas = sim3.Sim3(
+        R=S_meas.R.at[-1].set(true_rel.R[0]),
+        t=S_meas.t.at[-1].set(true_rel.t[0]),
+        s=S_meas.s.at[-1].set(true_rel.s[0]),
+    )
+    fixed = jnp.zeros(K, bool).at[0].set(True)
+    prob = PoseGraphProblem(
+        S_cw=S_est, kf_valid=jnp.ones(K, bool), kf_fixed=fixed,
+        edge_i=ei, edge_j=ej, edge_Sji=S_meas,
+        edge_valid=jnp.ones(K, bool), edge_weight=jnp.ones(K),
+    )
+    return prob, gt, est
+
+
 class TestPoseGraph:
     def test_loop_correction_distributes_drift(self):
         """Chain of K poses with accumulated drift; a loop edge from the last
@@ -120,3 +156,24 @@ class TestPoseGraph:
         assert drift_after < 0.35 * drift_before, (drift_before, drift_after)
         # fixed vertex untouched
         np.testing.assert_allclose(T_opt[0], est[0], atol=1e-5)
+
+    def test_pcg_matches_dense(self):
+        """The matrix-free PCG solver must converge to the same optimum as
+        the dense-Cholesky path on an identical problem."""
+        prob, gt, est = _drift_chain_problem(K=24)
+        S_dense = optimize_pose_graph(prob, iters=20)
+        S_pcg = optimize_pose_graph(prob, iters=20, dense_max_k=0, cg_iters=200)
+        T_dense = np.asarray(sim3.to_se3(S_dense))
+        T_pcg = np.asarray(sim3.to_se3(S_pcg))
+        np.testing.assert_allclose(T_pcg, T_dense, atol=2e-3)
+
+    def test_pcg_large_graph(self):
+        """PCG path at a vertex count where the dense Hessian (7K)² would be
+        ~1 GB — verifies the scalable path corrects drift without building H."""
+        prob, gt, est = _drift_chain_problem(K=600, seed=5)
+        drift_before = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+        S_opt = optimize_pose_graph(prob, iters=10, cg_iters=400)
+        T_opt = np.asarray(sim3.to_se3(S_opt))
+        drift_after = np.linalg.norm(T_opt[-1][:3, 3] - gt[-1][:3, 3])
+        assert drift_after < 0.35 * drift_before, (drift_before, drift_after)
+        np.testing.assert_allclose(T_opt[0], est[0], atol=1e-4)

@@ -84,3 +84,23 @@ def test_slam_map_consistency(cfg):
     # covisibility symmetry
     covis = np.asarray(m.covis)
     np.testing.assert_array_equal(covis, covis.T)
+
+
+@pytest.mark.smoke
+def test_color_mode_conversion(cfg):
+    """cfg.camera.color selects the input conversion (reference
+    Tracking.cc:52-68): RGB (1) and BGR (2) 3-channel inputs must reduce to
+    the cv::cvtColor luma; pure-gray 3-channel input tracks identically."""
+    import dataclasses
+
+    slam_rgb = SLAM(dataclasses.replace(cfg, camera=dataclasses.replace(cfg.camera, color=1)))
+    slam_bgr = SLAM(dataclasses.replace(cfg, camera=dataclasses.replace(cfg.camera, color=2)))
+
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0, 255, (8, 8, 3)).astype(np.float32)
+    luma = rgb @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    np.testing.assert_allclose(np.asarray(slam_rgb._to_gray(rgb)), luma, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(slam_bgr._to_gray(rgb[..., ::-1])), luma, rtol=1e-5)
+    # 2-channel-dim gray passes through untouched
+    g = rgb[..., 0]
+    assert slam_rgb._to_gray(g) is g
