@@ -26,6 +26,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils import topk_bounded
+
 from ..mapstate.map_state import MapState
 from .vocabulary import Vocabulary, transform
 
@@ -144,7 +146,7 @@ def find_reloc_candidates(
     th = 0.75 * jnp.max(gs)
     ok = (gs >= th) & (s > 0)
     masked = jnp.where(ok, s, -1.0)
-    top, ids = jax.lax.top_k(masked, n_candidates)
+    top, ids = topk_bounded(masked, n_candidates)
     return jnp.where(top > 0, ids, -1), top
 
 
@@ -178,5 +180,5 @@ def find_loop_candidates(
     th = jnp.maximum(0.75 * jnp.max(gs), min_score)
     ok = (gs >= th) & (s >= min_score) & (s > 0)
     masked = jnp.where(ok, s, -1.0)
-    top, ids = jax.lax.top_k(masked, n_candidates)
+    top, ids = topk_bounded(masked, n_candidates)
     return jnp.where(top > 0, ids, -1), top

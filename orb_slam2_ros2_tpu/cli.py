@@ -144,6 +144,8 @@ def main(argv=None):
         q.add_argument("--speed", type=float, default=0.8)
         q.add_argument("--circle", action="store_true")
         q.add_argument("--gt", default="", help="ground-truth pose file (auto-detected if omitted)")
+        q.add_argument("--trace", default="",
+                       help="write a jax.profiler trace (TensorBoard/Perfetto) to this dir")
         q.add_argument("--distributed", action="store_true",
                        help="join a multi-host JAX runtime (SLAM_COORDINATOR / "
                             "SLAM_NUM_PROCESSES / SLAM_PROCESS_ID env vars)")
@@ -161,6 +163,17 @@ def main(argv=None):
     if args.cmd == "train-vocab":
         _train_vocab(args)
         return
+
+    # §5.1 tracing: --trace DIR records a jax.profiler trace of the whole run
+    # (TensorBoard/Perfetto artifact) — the profiler-hook upgrade over the
+    # reference's chrono+RCLCPP ms logging (System.h:55-61)
+    if getattr(args, "trace", ""):
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace(args.trace)
+        atexit.register(jax.profiler.stop_trace)
 
     from .io import trajectory as traj_io
 

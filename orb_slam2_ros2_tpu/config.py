@@ -195,6 +195,9 @@ class MapConfig:
     max_mappoints: int = 1 << 18   # 262144
     max_obs_per_mp: int = 24       # per-MapPoint observation fan-out cap
     # (covisibility is a dense [K, K] weight matrix by design — no top-k list)
+    # map-length scaling (§5.7): double the store capacities on the host when
+    # the bump allocators approach them (one recompile per doubling, cached)
+    auto_grow: bool = True
     load_map: bool = False
     save_map: bool = False
     map_path: str = ""

@@ -15,6 +15,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils import topk_bounded
 from .map_state import MapState
 
 
@@ -39,12 +40,12 @@ def covisible_kfs(state: MapState, kf_id, n_first: int, n_second: int) -> Tuple[
     neighbour of each first-ring KF."""
     K = state.kf_capacity
     w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
-    w1, ids1 = jax.lax.top_k(w, n_first)
+    w1, ids1 = topk_bounded(w, n_first)
     ring1 = jnp.where(w1 > 0, ids1, -1)
 
     # second ring: top-n_second neighbours of each ring-1 KF
     rows = state.covis[jnp.clip(ring1, 0, K - 1)] * state.kf_valid.astype(jnp.int32)[None, :]
-    w2, ids2 = jax.lax.top_k(rows, n_second)
+    w2, ids2 = topk_bounded(rows, n_second)
     ring2 = jnp.where((w2 > 0) & (ring1[:, None] >= 0), ids2, -1)
 
     mask = jnp.zeros((K,), bool)
@@ -65,8 +66,8 @@ def local_map_snapshot(
 
     # bounded local KF id list
     kf_score = jnp.where(kf_mask, 1, 0)
-    _, kf_ids_all = jax.lax.top_k(kf_score * (K - jnp.arange(K)) , max_kfs)
-    kf_ids = jnp.where(kf_mask[kf_ids_all], kf_ids_all, -1)
+    kfv, kf_ids_all = topk_bounded(kf_score * (K - jnp.arange(K)), max_kfs)
+    kf_ids = jnp.where((kfv > 0) & kf_mask[kf_ids_all], kf_ids_all, -1)
 
     # mask of map points observed by local KFs
     rows = state.kf_mp_idx[jnp.clip(kf_ids, 0, K - 1)]  # [max_kfs, N]
@@ -78,7 +79,7 @@ def local_map_snapshot(
 
     # compact to max_mps slots: prefer recently created points (higher id)
     score = jnp.where(mp_mask, 1 + jnp.arange(M, dtype=jnp.int32), 0)
-    top, mp_ids = jax.lax.top_k(score, max_mps)
+    top, mp_ids = topk_bounded(score, max_mps)
     ok = top > 0
     mp_ids = jnp.where(ok, mp_ids, -1)
     idc = jnp.clip(mp_ids, 0, M - 1)

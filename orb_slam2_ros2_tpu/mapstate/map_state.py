@@ -80,6 +80,66 @@ class MapState(NamedTuple):
         return self.mp_pos.shape[0]
 
 
+def grow_map(
+    state: MapState,
+    *,
+    kf_capacity: int | None = None,
+    mp_capacity: int | None = None,
+) -> MapState:
+    """Copy of ``state`` with enlarged capacities (map-length scaling, SURVEY
+    §5.7).  The reference's pointer-web map grows implicitly; here the padded
+    SoA stores are re-padded to the new capacity on the host — slot ids are
+    stable so no relinking is needed, and every downstream jitted program
+    simply recompiles once at the new shapes (capacities double, so the
+    recompile bursts amortize; a persistent compile cache makes repeats free).
+    New slots carry the same padding values as ``empty_map``."""
+    K0, M0 = state.kf_capacity, state.mp_capacity
+    K = kf_capacity if kf_capacity is not None else K0
+    M = mp_capacity if mp_capacity is not None else M0
+    if K < K0 or M < M0:
+        raise ValueError(f"capacities cannot shrink: {(K0, M0)} -> {(K, M)}")
+    dK, dM = K - K0, M - M0
+    if dK == 0 and dM == 0:
+        return state
+
+    def pad(a, n, fill, axis=0):
+        if n == 0:
+            return a
+        shape = list(a.shape)
+        shape[axis] = n
+        return jnp.concatenate([a, jnp.full(shape, fill, a.dtype)], axis=axis)
+
+    eye_pad = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (dK, 4, 4))
+    return state._replace(
+        kf_Tcw=jnp.concatenate([state.kf_Tcw, eye_pad]) if dK else state.kf_Tcw,
+        kf_valid=pad(state.kf_valid, dK, False),
+        kf_frame_id=pad(state.kf_frame_id, dK, -1),
+        kf_uv=pad(state.kf_uv, dK, 0.0),
+        kf_right_u=pad(state.kf_right_u, dK, -1.0),
+        kf_depth=pad(state.kf_depth, dK, -1.0),
+        kf_octave=pad(state.kf_octave, dK, 0),
+        kf_angle=pad(state.kf_angle, dK, 0.0),
+        kf_desc=pad(state.kf_desc, dK, 0),
+        kf_feat_valid=pad(state.kf_feat_valid, dK, False),
+        kf_mp_idx=pad(state.kf_mp_idx, dK, -1),
+        mp_pos=pad(state.mp_pos, dM, 0.0),
+        mp_normal=pad(state.mp_normal, dM, 0.0),
+        mp_desc=pad(state.mp_desc, dM, 0),
+        mp_min_dist=pad(state.mp_min_dist, dM, 0.0),
+        mp_max_dist=pad(state.mp_max_dist, dM, 1e9),
+        mp_valid=pad(state.mp_valid, dM, False),
+        mp_ref_kf=pad(state.mp_ref_kf, dM, -1),
+        mp_n_obs=pad(state.mp_n_obs, dM, 0),
+        mp_visible=pad(state.mp_visible, dM, 1),
+        mp_found=pad(state.mp_found, dM, 1),
+        mp_first_kf=pad(state.mp_first_kf, dM, -1),
+        mp_obs_kf=pad(state.mp_obs_kf, dM, -1),
+        mp_obs_feat=pad(state.mp_obs_feat, dM, -1),
+        covis=pad(pad(state.covis, dK, 0, axis=0), dK, 0, axis=1),
+        kf_parent=pad(state.kf_parent, dK, -1),
+    )
+
+
 def empty_map(cfg: SLAMConfig) -> MapState:
     K = cfg.map.max_keyframes
     N = cfg.orb.max_keypoints

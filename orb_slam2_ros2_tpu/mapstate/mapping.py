@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..geometry import se3, triangulate as tri
 from ..geometry.camera import CameraParams, project
 from ..ops.hamming import hamming_matrix
+from ..utils import topk_bounded
 from .map_state import (
     MapState,
     _append_observations,
@@ -70,8 +71,8 @@ def triangulate_new_points(
     N = state.kf_uv.shape[1]
     K = state.kf_capacity
     w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
-    _, nb_ids = jax.lax.top_k(w, n_neighbors)
-    nb_w = w[nb_ids]
+    # padded slots carry weight 0 → every per-neighbour gate below skips them
+    nb_w, nb_ids = topk_bounded(w, n_neighbors)
 
     Tcw1 = state.kf_Tcw[kf_id]
     Twc1 = se3.inverse(Tcw1)
@@ -273,12 +274,12 @@ def cull_keyframes(
     N = state.kf_mp_idx.shape[1]
     M = state.mp_capacity
     w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
-    _, cand_ids = jax.lax.top_k(w, n_candidates)
+    wv, cand_ids = topk_bounded(w, n_candidates)
 
     st = state
     for j in range(n_candidates):
         kj = cand_ids[j]
-        cand_ok = (w[cand_ids[j]] > 0) & (kj != kf_id) & (kj != 0) & st.kf_valid[kj]
+        cand_ok = (wv[j] > 0) & (kj != kf_id) & (kj != 0) & st.kf_valid[kj]
 
         mp = st.kf_mp_idx[kj]                      # [N]
         has = (mp >= 0) & st.kf_feat_valid[kj]

@@ -39,6 +39,7 @@ from ..mapstate.map_state import (
 )
 from ..matching.matcher import best_match, mutual_filter
 from ..ops.hamming import hamming_matrix
+from ..utils import topk_bounded
 from ..solvers.global_ba import global_ba
 from ..solvers.pose_graph import (
     PoseGraphProblem,
@@ -485,6 +486,22 @@ class LoopCloser:
         self._sim3_b = jax.jit(_stage_b)
         self._sim3_c = jax.jit(_stage_c)
 
+    def grow(self, n_keyframes: int) -> None:
+        """Re-pad the sparse BoW rows when the map's keyframe capacity grows
+        (SLAM._grow); row ids are stable so existing entries carry over."""
+        dK = n_keyframes - self.db.word_ids.shape[0]
+        if dK <= 0:
+            return
+        S = self.db.max_words
+        self.db = KeyFrameDB(
+            word_ids=jnp.concatenate(
+                [self.db.word_ids, jnp.full((dK, S), -1, jnp.int32)]
+            ),
+            weights=jnp.concatenate(
+                [self.db.weights, jnp.zeros((dK, S), jnp.float32)]
+            ),
+        )
+
     # ------------------------------------------------------------------
     def add_keyframe_to_db(self, state: MapState, kf_id: int) -> None:
         from ..bow.keyframe_db import add_keyframe
@@ -732,7 +749,7 @@ def optimize_essential(
         & state.kf_valid[:, None] & state.kf_valid[None, :]
     )
     flat_w = jnp.where(new_mask, state.covis, 0).reshape(-1)
-    topw, topi = jax.lax.top_k(flat_w, max_new_conn)
+    topw, topi = topk_bounded(flat_w, max_new_conn)
     ni = jnp.where(topw > 0, topi // K, -1)
     nj = jnp.where(topw > 0, topi % K, -1)
     S_meas_new = make_relative_measurements(S_now, jnp.maximum(ni, 0), jnp.maximum(nj, 0))

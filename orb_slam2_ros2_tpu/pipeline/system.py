@@ -241,7 +241,7 @@ def slam_track_step(
 STAT_KEYS = (
     "n_motion_matches", "n_motion_inliers", "n_localmap_matches",
     "n_tracked", "n_inliers", "n_close_tracked", "n_close_untracked",
-    "best_ref_kf",
+    "best_ref_kf", "next_mp",
 )
 
 
@@ -359,12 +359,14 @@ class SLAM:
                 mapstate.mp_pos, mapstate.mp_valid, proj_th=proj_th, **track_common,
             )
             mapstate2 = bump_tracking_counters(mapstate, local, visible, found)
-            # best-ref-kf rides the same host vector (one transfer per frame);
-            # inserted before the 16 pose entries
+            # best-ref-kf and the map-point allocation watermark ride the same
+            # host vector (one transfer per frame); inserted before the 16
+            # pose entries
             best_ref = _best_ref_kf(mapstate2, new_state.mp_ids)
+            next_mp = mapstate2.next_mp.astype(jnp.float32)
             n_stat = host_vec.shape[0] - 16
             host_vec = jnp.concatenate(
-                [host_vec[:n_stat], best_ref[None], host_vec[n_stat:]]
+                [host_vec[:n_stat], best_ref[None], next_mp[None], host_vec[n_stat:]]
             )
             return new_state, velocity2, host_vec, mapstate2
 
@@ -591,6 +593,12 @@ class SLAM:
         self.velocity = velocity
         self.frames_since_kf += 1
 
+        if (
+            self.cfg.map.auto_grow
+            and stats["next_mp"] >= int(0.9 * self.map.mp_capacity)
+        ):
+            self._grow(mp_capacity=2 * self.map.mp_capacity)
+
         if t.only_tracking and not weak:
             # only-tracking mode inserts no keyframes, so the reference KF and
             # local map must slide along the prebuilt map as the camera moves
@@ -793,7 +801,7 @@ class SLAM:
         t = self.cfg.tracking
         if t.only_tracking:
             return False
-        if self._n_kf >= self.map.kf_capacity - 1:
+        if self._n_kf >= self.map.kf_capacity - 1 and not self.cfg.map.auto_grow:
             return False
         if self.frame_id - 1 <= self.last_reloc_fid + t.max_frames:
             return False
@@ -820,6 +828,8 @@ class SLAM:
         keyframe arriving first aborts the pending BA, the reference's
         setAbortBA handshake (LocalMapping.h:103-166, Tracking.cc:799).
         """
+        if self.cfg.map.auto_grow and self._n_kf >= self.map.kf_capacity - 2:
+            self._grow(kf_capacity=2 * self.map.kf_capacity)
         self._flush_pending(next_kf_arriving=True)
         self.map, kf_id, self.local, last_mp_ids, last_Tcw = self._map_front(
             self.map, cur.frame, cur.Tcw, cur.mp_ids, fid, self.cam
@@ -840,6 +850,23 @@ class SLAM:
         # stereo points must NOT count — including them reads the ratio as
         # ~0.4 on every frame and spams keyframes at the c2 gate.
         self.ref_kf_tracked = stats.get("n_tracked", 0)
+
+    def _grow(self, kf_capacity: Optional[int] = None, mp_capacity: Optional[int] = None):
+        """Map-length scaling (SURVEY §5.7): double the device store
+        capacities when the bump allocators approach them.  Slot ids are
+        stable; the local snapshot (its K-sized membership mask) and the
+        place-recognition rows are re-padded; every jitted program recompiles
+        once at the new shapes (persistent-cached thereafter).  The reference
+        has no analogue — its pointer-web map grows implicitly and its cost
+        ceilings are hidden; ours are explicit and removable."""
+        from ..mapstate.map_state import grow_map
+
+        self.map = grow_map(self.map, kf_capacity=kf_capacity, mp_capacity=mp_capacity)
+        if kf_capacity is not None:
+            if self.local is not None:
+                self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
+            if self.loop_closer is not None:
+                self.loop_closer.grow(kf_capacity)
 
     def _flush_pending(self, next_kf_arriving: bool) -> None:
         """Resolve a still-pending mapping tail.  When the next keyframe is

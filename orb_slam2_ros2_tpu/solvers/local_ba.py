@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..geometry.camera import CameraParams
 from ..mapstate.map_state import MapState
+from ..utils import topk_bounded
 from .pcg_ba import PointBAProblem
 from .schur_ba import solve_ba_points
 
@@ -50,7 +51,7 @@ def extract_window_points(
     # --- free cameras: top covisible neighbours + self --------------------
     w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
     w = w.at[kf_id].set(jnp.iinfo(jnp.int32).max)  # self always first
-    wv, free_ids = jax.lax.top_k(w, max_free)
+    wv, free_ids = topk_bounded(w, max_free)
     free_ok = wv > 0
     free_ids = jnp.where(free_ok, free_ids, -1)
     free_mask_k = jnp.zeros((K,), bool).at[jnp.where(free_ok, free_ids, K)].set(True, mode="drop")
@@ -61,7 +62,7 @@ def extract_window_points(
     mp_mask = jnp.zeros((M,), bool).at[jnp.where(rows >= 0, rows, M).reshape(-1)].set(True, mode="drop")
     mp_mask = mp_mask & state.mp_valid
     score = jnp.where(mp_mask, 1 + jnp.arange(M, dtype=jnp.int32), 0)
-    top, pt_ids = jax.lax.top_k(score, max_points)
+    top, pt_ids = topk_bounded(score, max_points)
     pt_ok = top > 0
     pt_ids = jnp.where(pt_ok, pt_ids, -1)
     ptc = jnp.clip(pt_ids, 0, M - 1)
@@ -80,7 +81,7 @@ def extract_window_points(
     fixed_mask = jnp.zeros((K,), bool).at[jnp.where(obs_ok, obs_kf, K).reshape(-1)].set(True, mode="drop")
     fixed_mask = fixed_mask & state.kf_valid & ~free_mask_k
     fscore = jnp.where(fixed_mask, 1 + jnp.arange(K, dtype=jnp.int32), 0)
-    ftop, fixed_ids = jax.lax.top_k(fscore, max_fixed)
+    ftop, fixed_ids = topk_bounded(fscore, max_fixed)
     fixed_ok = ftop > 0
     fixed_ids = jnp.where(fixed_ok, fixed_ids, -1)
 

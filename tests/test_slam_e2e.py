@@ -104,3 +104,27 @@ def test_color_mode_conversion(cfg):
     # 2-channel-dim gray passes through untouched
     g = rgb[..., 0]
     assert slam_rgb._to_gray(g) is g
+
+
+def test_map_capacity_auto_grows(cfg):
+    """Deliberately tiny store capacities must DOUBLE on the fly while
+    tracking (map-length scaling, SURVEY §5.7): the run needs more keyframes
+    and map points than the initial stores can hold."""
+    import dataclasses
+
+    small = cfg.replace(map=dataclasses.replace(
+        cfg.map, max_keyframes=8, max_mappoints=2048))
+    ds = SyntheticStereoDataset(small.camera, n_frames=30, speed=0.35)
+    slam = SLAM(small)
+    for i in range(30):
+        imgL, imgR, _ = ds.frame(i)
+        Tcw, stats = slam.track(imgL, imgR)
+        assert Tcw is not None, f"lost at frame {i}: {stats}"
+
+    assert slam.n_keyframes > 8, "run too short to exercise growth"
+    assert slam.map.kf_capacity > 8 and slam.map.kf_capacity >= slam.n_keyframes
+    assert slam.map.mp_capacity > 2048
+    assert int(slam.map.next_mp) <= slam.map.mp_capacity
+    # place-recognition rows grew with the map
+    if slam.loop_closer is not None:
+        assert slam.loop_closer.db.word_ids.shape[0] == slam.map.kf_capacity
