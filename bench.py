@@ -54,6 +54,33 @@ def log(msg):
     print(f"[bench {time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> bool:
+    """The tunnelled TPU backend occasionally drops for minutes-to-hours; a
+    capture that lands inside an outage must wait for it, not hang or record
+    garbage.  Probe in a SUBPROCESS (an in-process ``jax.devices()`` on a dead
+    tunnel can block indefinitely) and return once it answers."""
+    import subprocess
+
+    max_wait_s = float(os.environ.get("BENCH_MAX_WAIT_S", max_wait_s))
+    t_start = time.time()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=90,
+            )
+            if r.returncode == 0:
+                return True
+            reason = f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = "probe timeout"
+        if time.time() - t_start > max_wait_s:
+            log(f"backend still unavailable after {max_wait_s:.0f}s — proceeding anyway")
+            return False
+        log(f"backend probe failed ({reason}); waiting for the tunnel to return…")
+        time.sleep(60)
+
+
 def _bench_local_ba(cam) -> float:
     """Time one local-BA window solve (16 free cams + 32 fixed, 8192 points,
     O=24 observation fan-out — the production window in the production
@@ -100,6 +127,7 @@ def _bench_local_ba(cam) -> float:
 
 
 def main():
+    _wait_for_backend()
     cfg = SLAMConfig()
     cam = CameraParams.from_config(cfg.camera)
     ds = SyntheticStereoDataset(cfg.camera, n_frames=N_FRAMES + 2, speed=0.8)
