@@ -737,9 +737,13 @@ def optimize_essential(
     K = state.kf_capacity
 
     S_now = sim3.from_se3(state.kf_Tcw)            # corrected vertex init
-    ei, ej, ew = collect_essential_edges(
-        state, essential_weight, max_edges - max_new_conn
-    )
+    # edge budget scales with the (possibly auto-grown) capacity: the spanning
+    # tree alone is K slots, so a fixed budget would go negative at large K
+    budget = max(max_edges - max_new_conn,
+                 K + state.loop_edges.shape[0] + 1 + 256)
+    ei, ej, ew = collect_essential_edges(state, essential_weight, budget)
+    # the slot collect_essential_edges RESERVED (the last of its own block)
+    n_collect = ei.shape[0]
     S_meas = make_relative_measurements(S_nc, jnp.maximum(ei, 0), jnp.maximum(ej, 0))
 
     # --- new loop connections: group KF ↔ outside, unconnected pre-fuse ----
@@ -763,9 +767,10 @@ def optimize_essential(
 
     # the loop edge gets its measured constraint S12: S_cur←cand, written at
     # the slot collect_essential_edges RESERVED (the last slot of its own
-    # block) — writing at -1 would clobber the weakest new-connection slot
-    # above when all max_new_conn slots are in use
-    res = max_edges - max_new_conn - 1
+    # block, measured from the ACTUAL block length — small graphs return fewer
+    # than the budget) — writing at -1 would clobber the weakest
+    # new-connection slot above when all max_new_conn slots are in use
+    res = n_collect - 1
     ei = ei.at[res].set(kf_cand)
     ej = ej.at[res].set(kf_cur)
     S_meas = sim3.Sim3(
@@ -810,10 +815,11 @@ def collect_essential_edges(state: MapState, essential_weight: int, max_edges: i
     w = state.covis[iu]
     covis_ok = (w >= essential_weight) & state.kf_valid[iu[0]] & state.kf_valid[iu[1]]
 
-    # bounded compaction: tree edges first, then strongest covis
+    # bounded compaction: tree edges first, then strongest covis (clamped: at
+    # grown capacities the tree alone can exceed a stale budget)
     score = jnp.where(covis_ok, w, 0)
-    n_covis = min(max_edges - K - state.loop_edges.shape[0] - 1, int(score.shape[0]))
-    topw, topi = jax.lax.top_k(score, n_covis)
+    n_covis = max(0, min(max_edges - K - state.loop_edges.shape[0] - 1, int(score.shape[0])))
+    topw, topi = topk_bounded(score, n_covis) if n_covis else (score[:0], score[:0].astype(jnp.int32))
     cov_i = jnp.where(topw > 0, iu[0][topi], -1)
     cov_j = jnp.where(topw > 0, iu[1][topi], -1)
 

@@ -517,10 +517,12 @@ class SLAM:
     def _to_gray(self, img):
         """Color-mode conversion (reference Tracking.cc:52-68): cfg.camera.color
         selects 0 = already grayscale, 1 = RGB, 2 = BGR; 3-channel inputs are
-        reduced with the ITU-R 601 luma weights cv::cvtColor uses."""
-        a = np.asarray(img)
-        if a.ndim == 2:
+        reduced with the ITU-R 601 luma weights cv::cvtColor uses.  The ndim
+        check reads shape metadata only — a grayscale device array must pass
+        through without a device→host fetch (the tunnel hot path)."""
+        if img.ndim == 2:
             return img
+        a = np.asarray(img)
         w = np.asarray([0.299, 0.587, 0.114], np.float32)
         if self.cfg.camera.color == 2:
             w = w[::-1].copy()
@@ -592,12 +594,6 @@ class SLAM:
         self.last = new_state
         self.velocity = velocity
         self.frames_since_kf += 1
-
-        if (
-            self.cfg.map.auto_grow
-            and stats["next_mp"] >= int(0.9 * self.map.mp_capacity)
-        ):
-            self._grow(mp_capacity=2 * self.map.mp_capacity)
 
         if t.only_tracking and not weak:
             # only-tracking mode inserts no keyframes, so the reference KF and
@@ -828,8 +824,16 @@ class SLAM:
         keyframe arriving first aborts the pending BA, the reference's
         setAbortBA handshake (LocalMapping.h:103-166, Tracking.cc:799).
         """
-        if self.cfg.map.auto_grow and self._n_kf >= self.map.kf_capacity - 2:
-            self._grow(kf_capacity=2 * self.map.kf_capacity)
+        if self.cfg.map.auto_grow:
+            if self._n_kf >= self.map.kf_capacity - 2:
+                self._grow(kf_capacity=2 * self.map.kf_capacity)
+            # map points are allocated only on keyframe insertion, and one
+            # insertion can create up to ~2N points (close-stereo seeds +
+            # triangulation) — grow with that headroom so allocation never
+            # saturates at the capacity clamp and silently drops points
+            headroom = 2 * self.cfg.orb.max_keypoints
+            if stats.get("next_mp", 0) + headroom >= self.map.mp_capacity:
+                self._grow(mp_capacity=2 * self.map.mp_capacity)
         self._flush_pending(next_kf_arriving=True)
         self.map, kf_id, self.local, last_mp_ids, last_Tcw = self._map_front(
             self.map, cur.frame, cur.Tcw, cur.mp_ids, fid, self.cam
@@ -917,6 +921,9 @@ class SLAM:
 
         if self.loop_closer is None:
             self.loop_closer = LoopCloser(self.cfg, self._resolve_vocab(kf_id))
+            # the map may have auto-grown past the configured capacity before
+            # the closer was first needed — size the BoW rows to the live map
+            self.loop_closer.grow(self.map.kf_capacity)
             if jax.default_backend() != "cpu":
                 # pre-compile detection/verification so the first mid-run
                 # loop attempt doesn't stall tracking (CPU test runs compile

@@ -15,7 +15,7 @@ count:
 * K ≤ ``DENSE_MAX_K``: assemble the dense 7K×7K H by scatter-adding 7×7
   blocks and solve with one Cholesky — cheapest at small graphs.
 * K > ``DENSE_MAX_K``: matrix-free preconditioned CG.  The H·x product is two
-  edge-local 7×7 einsums plus a one-hot scatter matmul (no H is ever
+  edge-local 7×7 einsums plus endpoint scatter-adds (no H is ever
   materialized: O(E·49) memory instead of O((7K)²)), preconditioned with the
   inverted block diagonal.  This removes the (7K)² ceiling — K = 10⁴ vertices
   costs ~25 MB of edge Jacobians instead of a 20 GB Hessian.
@@ -132,23 +132,30 @@ def _gn_step_pcg(
     prob: PoseGraphProblem,
     S: sim3.Sim3,
     damping: float,
-    Pi: jnp.ndarray,
-    Pj: jnp.ndarray,
     cg_iters: int,
 ) -> sim3.Sim3:
     """Matrix-free normal-equation solve: H is applied edge-wise, never built.
 
-    ``Pi``/``Pj`` are f32 one-hot scatter matrices [E, K] (edge endpoint →
-    vertex); scatter = one matmul on the MXU instead of a TPU scatter-add.
+    Endpoint accumulation is an XLA scatter-add — O(E) memory (a one-hot
+    matmul would be O(E·K), defeating the scalability this path exists for;
+    the op runs once per loop closure, so MXU utilization is not the
+    bottleneck here).
     """
+    K = prob.kf_valid.shape[0]
     r, Ji, Jj, w = _linearize(prob, S)
     anchor = (prob.kf_fixed | ~prob.kf_valid).astype(jnp.float32)
     diag = anchor * 1e6 + damping                                  # [K]
 
-    wJi = w[:, None, None] * Ji
-    bi = jnp.einsum("eki,ek->ei", wJi, r)                          # [E, 7]
-    bj = jnp.einsum("eki,ek->ei", w[:, None, None] * Jj, r)        # [E, 7]
-    b = Pi.T @ bi + Pj.T @ bj                                      # [K, 7]
+    ei = jnp.where(prob.edge_valid, prob.edge_i, K)                # K = dropped
+    ej = jnp.where(prob.edge_valid, prob.edge_j, K)
+
+    def scat(idx, vals):                                           # [E,…] → [K,…]
+        z = jnp.zeros((K + 1,) + vals.shape[1:], vals.dtype)
+        return z.at[idx].add(vals, mode="drop")[:K]
+
+    bi = jnp.einsum("eki,e,ek->ei", Ji, w, r)                      # [E, 7]
+    bj = jnp.einsum("eki,e,ek->ei", Jj, w, r)
+    b = scat(ei, bi) + scat(ej, bj)                                # [K, 7]
 
     def Hx(x):                                                     # x: [K, 7]
         xi = x[prob.edge_i]
@@ -157,14 +164,13 @@ def _gn_step_pcg(
         ye = w[:, None] * ye
         gi = jnp.einsum("eij,ei->ej", Ji, ye)
         gj = jnp.einsum("eij,ei->ej", Jj, ye)
-        return Pi.T @ gi + Pj.T @ gj + diag[:, None] * x
+        return scat(ei, gi) + scat(ej, gj) + diag[:, None] * x
 
     # block-Jacobi preconditioner: inverted 7×7 diagonal blocks
     Hii = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
     Hjj = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
     Hd = (
-        jnp.einsum("ek,eij->kij", Pi, Hii)
-        + jnp.einsum("ek,eij->kij", Pj, Hjj)
+        scat(ei, Hii) + scat(ej, Hjj)
         + (diag + 1e-8)[:, None, None] * jnp.eye(7)[None]
     )
     Hd_inv = jnp.linalg.inv(Hd)
@@ -192,12 +198,6 @@ def optimize_pose_graph(
     if K <= dense_max_k:
         step = lambda _, S: _gn_step_dense(prob, S, damping)
     else:
-        valid_f = prob.edge_valid.astype(jnp.float32)[:, None]
-        one_hot = lambda idx: (
-            (idx[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32) * valid_f
-        )
-        Pi = one_hot(prob.edge_i)
-        Pj = one_hot(prob.edge_j)
-        step = lambda _, S: _gn_step_pcg(prob, S, damping, Pi, Pj, cg_iters)
+        step = lambda _, S: _gn_step_pcg(prob, S, damping, cg_iters)
 
     return jax.lax.fori_loop(0, iters, step, prob.S_cw)
