@@ -210,6 +210,22 @@ def main():
         file=sys.stderr,
     )
 
+    # secondary: full-SLAM steady-state fps (tracking + KF insertion + mapping
+    # + deferred BA + loop detection) — run in a SUBPROCESS so any failure or
+    # timeout cannot void the headline metric already printed above
+    import subprocess
+
+    try:
+        log("running full-SLAM secondary bench…")
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.py")],
+            capture_output=True, timeout=1800, text=True,
+        )
+        out_line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        print(json.dumps({"full_slam": json.loads(out_line)}), file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — best-effort secondary metric
+        log(f"full-SLAM secondary bench unavailable: {e!r}")
+
 
 if __name__ == "__main__":
     main()
