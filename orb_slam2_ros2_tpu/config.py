@@ -71,6 +71,9 @@ class ORBConfig:
     scale_factor: float = 1.2
     ini_th_fast: int = 20  # high FAST threshold (ORBExtractor.cc:331-387)
     min_th_fast: int = 7   # fallback low threshold
+    # optional reference-format brief_template.txt (Path.BriefTemplate) for
+    # descriptor-level compat with reference-built maps; default = generated
+    brief_template_path: str = ""
     # keypoint border: the reference uses 19 (ORBExtractor.cc:523); ours is 23
     # because the unified 45×45 patch (BRIEF reach 19 + 3-px blur apron) must
     # stay inside the keypoint's own pyramid level
@@ -273,6 +276,12 @@ def _from_reference_yaml(raw: dict) -> SLAMConfig:
         camera_type=int(g("Camera.Type", 0)), color=int(g("Camera.Color", 0)),
         depth_scale=float(g("Camera.DepthScale", 5000.0)),
     )
+    import os as _os
+
+    # reference path keys point at that machine's filesystem — honor them only
+    # when they resolve here
+    tmpl = str(g("Path.BriefTemplate", ""))
+    voc = str(g("Path.Vocabulary", ""))
     orb = ORBConfig(
         n_features=int(g("ORBExtractor.nFeatures", 2000)),
         n_init_features=int(g("ORBExtractor.nInitFeatures", 2000)),
@@ -280,6 +289,7 @@ def _from_reference_yaml(raw: dict) -> SLAMConfig:
         scale_factor=float(g("ORBExtractor.scaleFactor", 1.2)),
         ini_th_fast=int(g("ORBExtractor.iniThFAST", 20)),
         min_th_fast=int(g("ORBExtractor.minThFAST", 7)),
+        brief_template_path=tmpl if _os.path.exists(tmpl) else "",
     )
     tracking = TrackingConfig(
         max_frames=int(g("MaxFrames", 10)), min_frames=int(g("MinFrames", 0)),
@@ -291,7 +301,8 @@ def _from_reference_yaml(raw: dict) -> SLAMConfig:
         save_map=bool(int(g("Map.SaveMap", 0))),
         map_path=str(g("Path.Map", "")),
     )
-    return SLAMConfig(camera=cam, orb=orb, tracking=tracking, map=mp)
+    bow = BoWConfig(vocab_path=voc if _os.path.exists(voc) else "")
+    return SLAMConfig(camera=cam, orb=orb, tracking=tracking, map=mp, bow=bow)
 
 
 def _from_nested(raw: dict) -> SLAMConfig:

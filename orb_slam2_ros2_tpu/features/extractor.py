@@ -160,6 +160,8 @@ def make_stereo_frontend(cfg: SLAMConfig):
     """
     o, c, m = cfg.orb, cfg.camera, cfg.matcher
     caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
+    if o.brief_template_path:
+        brief.set_template_file(o.brief_template_path)
 
     def frontend(img_l: jnp.ndarray, img_r: jnp.ndarray, cam: cam_mod.CameraParams) -> StereoFrame:
         feats, patches = extract_features_batch(
@@ -190,6 +192,8 @@ def make_rgbd_frontend(cfg: SLAMConfig):
     """
     o, c = cfg.orb, cfg.camera
     caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
+    if o.brief_template_path:
+        brief.set_template_file(o.brief_template_path)
 
     def frontend(img: jnp.ndarray, depth_map: jnp.ndarray, cam: cam_mod.CameraParams) -> StereoFrame:
         feats, _ = extract_features(

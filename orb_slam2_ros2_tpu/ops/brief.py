@@ -40,9 +40,59 @@ ORIENT_RADIUS = 15       # grey-centroid circular patch radius (ORBExtractor.cc:
 BLUR_PAD = 3             # 7-tap Gaussian apron
 
 
+_TEMPLATE_OVERRIDE = None  # set by set_template_file()
+
+
+def set_template_file(path: str) -> None:
+    """Load a BRIEF point-pair template in the reference's
+    ``brief_template.txt`` format — a ``x1 y1 x2 y2`` header followed by one
+    whitespace-separated pair per line (reference ORBExtractor.cc:242-267) —
+    and make it THE active template.  This gives descriptor-level
+    compatibility with maps/vocabularies built by the reference (our default
+    template is generated, a documented deviation).  Pads to 256 pairs with
+    (0,0,0,0) — a short file yields constant-0 trailing bits in the
+    reference too."""
+    global _TEMPLATE_OVERRIDE
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            try:
+                rows.append([float(v) for v in parts[:4]])
+            except ValueError:
+                continue  # header line
+    t = np.round(np.asarray(rows))
+    if np.abs(t).max() > TEMPLATE_CLIP:
+        # rotated reach beyond the patch apron would sample outside the patch
+        raise ValueError(
+            f"template reach {np.abs(t).max():.0f} exceeds the supported "
+            f"±{TEMPLATE_CLIP} (45×45 patch budget)"
+        )
+    t = t.astype(np.int32)
+    if t.shape[0] < N_PAIRS:
+        t = np.concatenate([t, np.zeros((N_PAIRS - t.shape[0], 4), np.int32)])
+    _TEMPLATE_OVERRIDE = t[:N_PAIRS]
+    brief_template.cache_clear()
+    rotated_offset_lut.cache_clear()
+    _pair_difference_matrix.cache_clear()
+
+
+def clear_template_override() -> None:
+    global _TEMPLATE_OVERRIDE
+    _TEMPLATE_OVERRIDE = None
+    brief_template.cache_clear()
+    rotated_offset_lut.cache_clear()
+    _pair_difference_matrix.cache_clear()
+
+
 @lru_cache(maxsize=None)
 def brief_template(seed: int = 17) -> np.ndarray:
-    """[256, 4] int32 (x1, y1, x2, y2): seeded Gaussian pairs, BRIEF-style."""
+    """[256, 4] int32 (x1, y1, x2, y2): seeded Gaussian pairs, BRIEF-style
+    (or the file-loaded override, see ``set_template_file``)."""
+    if _TEMPLATE_OVERRIDE is not None:
+        return _TEMPLATE_OVERRIDE
     r = np.random.default_rng(seed)
     t = r.normal(scale=TEMPLATE_CLIP / 2.0, size=(N_PAIRS, 4))
     return np.clip(np.round(t), -TEMPLATE_CLIP, TEMPLATE_CLIP).astype(np.int32)

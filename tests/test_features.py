@@ -178,3 +178,44 @@ class TestStereoDepth:
         rel = np.abs(depth[valid] - dgt) / dgt
         # majority of matched depths within 10% of ground truth
         assert np.median(rel) < 0.1, f"median rel depth err {np.median(rel):.3f}"
+
+
+class TestBriefTemplateFile:
+    @pytest.mark.smoke
+    def test_reference_format_loads_and_changes_descriptors(self, tmp_path):
+        """A reference-format brief_template.txt (header + 'x1 y1 x2 y2'
+        rows, ORBExtractor.cc:242-267) must become the active template —
+        descriptor-level compat with reference-built maps."""
+        rng = np.random.default_rng(3)
+        t = np.clip(np.round(rng.normal(0, 6, (255, 4))), -13, 13).astype(int)
+        path = tmp_path / "tmpl.txt"
+        path.write_text(
+            "x1\ty1\tx2\ty2\n" + "\n".join("\t".join(map(str, r)) for r in t)
+        )
+
+        patches = jnp.asarray(
+            rng.uniform(0, 255, (4, brief.PATCH_ROWS, brief.PATCH_COLS)).astype(np.float32)
+        )
+        angles = jnp.zeros((4,), jnp.float32)
+        d_default = np.asarray(brief.describe(patches, angles))
+        try:
+            brief.set_template_file(str(path))
+            loaded = brief.brief_template()
+            assert loaded.shape == (256, 4)
+            np.testing.assert_array_equal(loaded[:255], t)
+            np.testing.assert_array_equal(loaded[255], 0)  # padded pair
+            d_file = np.asarray(brief.describe(patches, angles))
+        finally:
+            brief.clear_template_override()
+        assert (d_file != d_default).any(), "override did not change descriptors"
+        # default template restored after clearing
+        d_again = np.asarray(brief.describe(patches, angles))
+        np.testing.assert_array_equal(d_again, d_default)
+
+    @pytest.mark.smoke
+    def test_oversized_reach_rejected(self, tmp_path):
+        path = tmp_path / "bad.txt"
+        path.write_text("x1 y1 x2 y2\n20 0 -20 0\n")
+        with pytest.raises(ValueError, match="reach"):
+            brief.set_template_file(str(path))
+        brief.clear_template_override()
