@@ -581,19 +581,31 @@ class LoopCloser:
         return S12, matched_mp, group
 
     # ------------------------------------------------------------------
-    def warmup(self, state: MapState, cam: CameraParams) -> None:
-        """Pre-compile the detection + verification programs on dummy inputs
-        so a mid-run first loop attempt doesn't stall tracking for the
-        compile (measured: ~45 s for stage A alone).  With the persistent
-        compile cache this costs seconds after the first-ever run — the
-        reference analogously eats minutes loading ORBvoc at startup
+    def warmup(self, state: MapState, cam: CameraParams, mesh=None) -> None:
+        """Pre-compile the detection + verification + correction programs on
+        dummy inputs so a mid-run first loop attempt doesn't stall tracking
+        for the compile (measured: ~45 s for stage A alone).  With the
+        persistent compile cache this costs seconds after the first-ever run
+        — the reference analogously eats minutes loading ORBvoc at startup
         (System.cc:92-95)."""
         kf0 = jnp.asarray(0)
         self.db, out = self._add_detect_prog(self.db, state, kf0)
         key = jax.random.PRNGKey(0)
         S12, ok, bj, _ = self._sim3_a(state, cam, kf0, kf0, key)
         S12, matched_mp, _ = self._sim3_b(state, cam, kf0, kf0, S12, ok, bj)
-        self._sim3_c(state, cam, kf0, kf0, S12, matched_mp)
+        matched_mp2, group, _ = self._sim3_c(state, cam, kf0, kf0, S12, matched_mp)
+        # correction path (group propagation, fuse passes, essential graph,
+        # global BA): run once with an identity constraint and DISCARD the
+        # result — none of these programs donate their inputs, so the live
+        # state is untouched and the first real loop closure pays no compile
+        saved = (self.last_loop_kf, self.consistent_groups)
+        ident = sim3.Sim3(
+            R=jnp.eye(3, dtype=jnp.float32),
+            t=jnp.zeros(3, jnp.float32),
+            s=jnp.asarray(1.0, jnp.float32),
+        )
+        self.correct(state, cam, 0, 0, ident, matched_mp2, group, mesh=mesh)
+        self.last_loop_kf, self.consistent_groups = saved
 
     # ------------------------------------------------------------------
     def correct(

@@ -928,7 +928,7 @@ class SLAM:
                 # pre-compile detection/verification so the first mid-run
                 # loop attempt doesn't stall tracking (CPU test runs compile
                 # fast and lazily instead)
-                self.loop_closer.warmup(self.map, self.cam)
+                self.loop_closer.warmup(self.map, self.cam, mesh=self.mesh)
 
     def _add_kf_to_db(self, kf_id: int) -> None:
         """Register a keyframe in the place-recognition database (every KF,

@@ -228,3 +228,24 @@ def test_attach_matched_merges_duplicates(cfg, cam):
     assert (kf0_mps >= P).all()
     # covisibility between the two KFs reflects the merge
     assert int(st2.covis[1, 0]) >= int(0.9 * P)
+
+
+def test_warmup_compiles_correction_without_mutating_state(cfg, cam):
+    """warmup() pre-runs detection, verification AND correction (pose graph +
+    global BA) on dummy inputs — the live map must come out untouched (none
+    of those programs donate their inputs)."""
+    from orb_slam2_ros2_tpu.bow.vocabulary import train_vocabulary
+
+    st, S12_true, P = two_kf_state(cfg, cam, share_mps=False, scramble=False)
+    rng = np.random.default_rng(7)
+    vocab = train_vocabulary(
+        rng.integers(0, 2**32, (256, 8), dtype=np.uint32), branching=4, depth=2
+    )
+    closer = LoopCloser(cfg, vocab)
+    before_T = np.asarray(st.kf_Tcw).copy()
+    before_p = np.asarray(st.mp_pos).copy()
+    before_loop_kf = closer.last_loop_kf
+    closer.warmup(st, cam)
+    np.testing.assert_array_equal(np.asarray(st.kf_Tcw), before_T)
+    np.testing.assert_array_equal(np.asarray(st.mp_pos), before_p)
+    assert closer.last_loop_kf == before_loop_kf
