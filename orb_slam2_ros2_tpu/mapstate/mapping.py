@@ -276,10 +276,25 @@ def cull_keyframes(
     w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
     wv, cand_ids = topk_bounded(w, n_candidates)
 
+    # keyframes carrying a loop edge are never culled: future essential-graph
+    # optimizations reuse those edges, so erasing an endpoint would anchor a
+    # stale vertex (original ORB-SLAM2 sets mbNotErase permanently in
+    # AddLoopEdge; this reference releases it at LoopClosing.cc:539 — we keep
+    # the stronger guarantee)
+    le = state.loop_edges
+    has_loop_edge = (
+        jnp.zeros((K + 1,), bool)
+        .at[jnp.where(le[:, 0] >= 0, le[:, 0], K)].set(True, mode="drop")
+        .at[jnp.where(le[:, 1] >= 0, le[:, 1], K)].set(True, mode="drop")
+    )[:K]
+
     st = state
     for j in range(n_candidates):
         kj = cand_ids[j]
-        cand_ok = (wv[j] > 0) & (kj != kf_id) & (kj != 0) & st.kf_valid[kj]
+        cand_ok = (
+            (wv[j] > 0) & (kj != kf_id) & (kj != 0)
+            & st.kf_valid[kj] & ~has_loop_edge[kj]
+        )
 
         mp = st.kf_mp_idx[kj]                      # [N]
         has = (mp >= 0) & st.kf_feat_valid[kj]

@@ -836,7 +836,11 @@ def collect_essential_edges(state: MapState, essential_weight: int, max_edges: i
     cov_j = jnp.where(topw > 0, iu[1][topi], -1)
 
     le = state.loop_edges
-    le_ok = le[:, 0] >= 0
+    le_ok = (
+        (le[:, 0] >= 0)
+        & state.kf_valid[jnp.clip(le[:, 0], 0, K - 1)]
+        & state.kf_valid[jnp.clip(le[:, 1], 0, K - 1)]
+    )
 
     ei = jnp.concatenate([
         jnp.where(tree_ok, parent, -1),

@@ -249,3 +249,64 @@ def test_warmup_compiles_correction_without_mutating_state(cfg, cam):
     np.testing.assert_array_equal(np.asarray(st.kf_Tcw), before_T)
     np.testing.assert_array_equal(np.asarray(st.mp_pos), before_p)
     assert closer.last_loop_kf == before_loop_kf
+
+
+def _redundant_state(cfg, cam, n_kfs=5, P=60, loop_edge=None):
+    """n_kfs keyframes all observing the SAME P map points (full fan-out) —
+    every non-root KF is redundant by the 90%/3-observer rule."""
+    rng = np.random.default_rng(11)
+    st = empty_map(cfg)
+    N = cfg.orb.max_keypoints
+    pw = rng.uniform([-4, -2.5, 6], [4, 2.5, 14], (P, 3)).astype(np.float32)
+    feat = np.arange(P, dtype=np.int32)
+    pad_i = np.concatenate([feat, np.full(N - P, -1, np.int32)])
+    for k in range(n_kfs):
+        st = st._replace(
+            kf_Tcw=st.kf_Tcw.at[k].set(jnp.eye(4)),
+            kf_valid=st.kf_valid.at[k].set(True),
+            kf_feat_valid=st.kf_feat_valid.at[k].set(jnp.asarray(np.arange(N) < P)),
+            kf_octave=st.kf_octave.at[k].set(0),
+            kf_mp_idx=st.kf_mp_idx.at[k].set(jnp.asarray(pad_i)),
+        )
+    obs_kf = np.full((st.mp_capacity, st.mp_obs_kf.shape[1]), -1, np.int32)
+    obs_ft = obs_kf.copy()
+    obs_kf[:P, :n_kfs] = np.arange(n_kfs)[None, :]
+    obs_ft[:P, :n_kfs] = feat[:, None]
+    covis = np.zeros((st.kf_capacity,) * 2, np.int32)
+    covis[:n_kfs, :n_kfs] = P
+    np.fill_diagonal(covis, 0)
+    st = st._replace(
+        mp_pos=st.mp_pos.at[:P].set(jnp.asarray(pw)),
+        mp_valid=st.mp_valid.at[:P].set(True),
+        mp_n_obs=st.mp_n_obs.at[:P].set(n_kfs),
+        mp_obs_kf=jnp.asarray(obs_kf), mp_obs_feat=jnp.asarray(obs_ft),
+        covis=jnp.asarray(covis),
+        next_kf=jnp.asarray(n_kfs, jnp.int32), next_mp=jnp.asarray(P, jnp.int32),
+    )
+    if loop_edge is not None:
+        st = st._replace(loop_edges=st.loop_edges.at[0].set(jnp.asarray(loop_edge)))
+    return st
+
+
+def test_redundant_kfs_culled_but_loop_edges_protected(cfg, cam):
+    """cullingKeyFrames: ≥90% of a neighbour's points seen by ≥3 other KFs →
+    culled (LocalMapping.cc:421-614); but keyframes holding a loop edge are
+    never erased (original ORB-SLAM2's permanent mbNotErase — future
+    essential graphs reuse the stored edge)."""
+    from orb_slam2_ros2_tpu.mapstate.mapping import cull_keyframes
+
+    # 6 KFs all seeing the same points: culling proceeds in covis order and
+    # each erase removes that KF's observations, so 1,2,3 fall and 4 retains
+    # only 2 other observers (< min_obs) and survives — like the reference's
+    # sequential erase
+    st = _redundant_state(cfg, cam, n_kfs=6)
+    out = cull_keyframes(st, jnp.asarray(5))
+    valid = np.asarray(out.kf_valid)
+    assert not valid[1] and not valid[2] and not valid[3], valid[:6]
+    assert valid[0] and valid[4] and valid[5], valid[:6]
+
+    st2 = _redundant_state(cfg, cam, n_kfs=6, loop_edge=(1, 3))
+    out2 = cull_keyframes(st2, jnp.asarray(5))
+    valid2 = np.asarray(out2.kf_valid)
+    assert valid2[1] and valid2[3], "loop-edge keyframes must survive culling"
+    assert not valid2[2], "non-loop redundant keyframe still culled"
