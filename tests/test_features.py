@@ -219,3 +219,20 @@ class TestBriefTemplateFile:
         with pytest.raises(ValueError, match="reach"):
             brief.set_template_file(str(path))
         brief.clear_template_override()
+
+
+@pytest.mark.smoke
+def test_pallas_fast_matches_xla_interior():
+    """The fused Pallas FAST kernel must be bit-exact with the XLA
+    rolled-copy formulation everywhere except the <4 px image border (which
+    the ≥19 px keypoint border discards)."""
+    from orb_slam2_ros2_tpu.ops.fast import fast_score
+    from orb_slam2_ros2_tpu.ops.pallas_fast import fast_score_pallas
+
+    rng = np.random.default_rng(0)
+    for H, W, dt in ((96, 200, np.float32), (123, 321, np.float32), (77, 130, jnp.bfloat16)):
+        img = jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32)).astype(dt)
+        ref = np.asarray(fast_score(img, 7.0), np.float32)
+        ker = np.asarray(fast_score_pallas(img, 7.0, interpret=True), np.float32)
+        m = 4
+        np.testing.assert_array_equal(ker[:, m:-m, m:-m], ref[:, m:-m, m:-m])
