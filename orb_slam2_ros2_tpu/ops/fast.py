@@ -117,7 +117,9 @@ def select_keypoints(
         (row_ids >= border) & (row_ids < h - border)
         & (col_ids >= border) & (col_ids < w - border)
     )
-    score = jnp.where(in_border, score, 0.0).astype(jnp.float32)
+    # stay in the map's native dtype (bf16 image plane) until after the cell
+    # reduction — casting the whole [H, W] map to f32 costs a full extra pass
+    score = jnp.where(in_border, score, jnp.zeros((), score.dtype))
 
     hc, wc = -(-h // cell), -(-w // cell)
     pad_h, pad_w = hc * cell - h, wc * cell - w
@@ -126,6 +128,7 @@ def select_keypoints(
 
     k = topk_per_cell
     vals, idx = jax.lax.top_k(cells, k)               # [hc*wc, k]
+    vals = vals.astype(jnp.float32)
     cell_row = jax.lax.broadcasted_iota(jnp.int32, (hc * wc, k), 0) // wc
     cell_col = jax.lax.broadcasted_iota(jnp.int32, (hc * wc, k), 0) % wc
     py = cell_row * cell + idx // cell
