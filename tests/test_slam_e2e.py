@@ -128,3 +128,21 @@ def test_map_capacity_auto_grows(cfg):
     # place-recognition rows grew with the map
     if slam.loop_closer is not None:
         assert slam.loop_closer.db.word_ids.shape[0] == slam.map.kf_capacity
+
+
+@pytest.mark.smoke
+def test_grow_map_matches_empty_padding(cfg):
+    """grow_map's padded slots must carry exactly empty_map's padding values
+    for EVERY MapState field — guards future fields being forgotten."""
+    import dataclasses
+
+    from orb_slam2_ros2_tpu.mapstate.map_state import MapState, empty_map, grow_map
+
+    small = cfg.replace(map=dataclasses.replace(cfg.map, max_keyframes=8, max_mappoints=1024))
+    big = cfg.replace(map=dataclasses.replace(cfg.map, max_keyframes=16, max_mappoints=4096))
+    grown = grow_map(empty_map(small), kf_capacity=16, mp_capacity=4096)
+    target = empty_map(big)
+    for name in MapState._fields:
+        a, b = getattr(grown, name), getattr(target, name)
+        assert a.shape == b.shape and a.dtype == b.dtype, name
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
