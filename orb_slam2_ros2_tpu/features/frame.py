@@ -12,7 +12,7 @@ bucketed gather at these sizes (N ≤ 2048).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -13,7 +13,6 @@ the solver update ``T <- exp(dx) * T`` mirrors the reference optimizer.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8

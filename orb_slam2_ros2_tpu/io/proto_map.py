@@ -20,7 +20,6 @@ difference (ops/brief.py).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ operation is one jitted program over padded arrays:
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ one fused jit program, no per-level host loop at runtime.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache, partial
 from typing import List, Sequence, Tuple
 

@@ -23,7 +23,7 @@ which is the standard (and more accurate) refinement.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ from ..bow.keyframe_db import KeyFrameDB, find_loop_candidates, sparse_bow
 from ..bow.vocabulary import Vocabulary, transform
 from ..config import SLAMConfig
 from ..geometry import se3, sim3
-from ..geometry.camera import CameraParams, project, unproject
+from ..geometry.camera import CameraParams, project
 from ..mapstate.local_map import LocalMap
 from ..mapstate.map_state import (
     MapState,

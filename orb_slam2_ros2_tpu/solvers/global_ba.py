@@ -10,9 +10,7 @@ mapper) are unnecessary: the update is one functional state transition.
 
 from __future__ import annotations
 
-from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import CameraParams

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ..geometry.camera import CameraParams

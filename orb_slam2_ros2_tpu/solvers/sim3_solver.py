@@ -14,12 +14,12 @@ Gauss-Newton on the sim(3) tangent with Jacobians from ``jax.jacfwd``
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..geometry import se3, sim3
+from ..geometry import sim3
 from ..geometry.align import horn_align
 from ..geometry.camera import CameraParams
 from ..geometry.robust import huber_weight
