@@ -75,7 +75,9 @@ def fast_score_dispatch(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     Interior scores are bit-exact between the two (tested); they differ only
     within 3 px of the image edge (clamped halo vs roll wraparound), which the
     ≥19 px keypoint border discards."""
-    if jax.default_backend() == "cpu":
+    import os
+
+    if jax.default_backend() == "cpu" or os.environ.get("SLAM_DISABLE_PALLAS_FAST"):
         return fast_score(img, threshold)
     from .pallas_fast import fast_score_pallas
 
