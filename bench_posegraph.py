@@ -49,7 +49,7 @@ def chain_problem(K: int, E_extra: int, seed: int = 0) -> PoseGraphProblem:
     ej = list(range(1, K))
     # covis-style extra edges between near-in-time keyframes
     a = r.integers(0, K - 3, E_extra)
-    b = a + r.integers(2, 3, E_extra)
+    b = a + r.integers(2, 4, E_extra)
     ei += a.tolist()
     ej += b.tolist()
     # loop edge with the true relative pose

@@ -277,11 +277,18 @@ def _from_reference_yaml(raw: dict) -> SLAMConfig:
         depth_scale=float(g("Camera.DepthScale", 5000.0)),
     )
     import os as _os
+    import sys as _sys
 
     # reference path keys point at that machine's filesystem — honor them only
-    # when they resolve here
+    # when they resolve here (and say so: silently falling back to generated
+    # template/vocabulary would make reference-built maps unmatchable)
     tmpl = str(g("Path.BriefTemplate", ""))
     voc = str(g("Path.Vocabulary", ""))
+    for _k, _v in (("Path.BriefTemplate", tmpl), ("Path.Vocabulary", voc)):
+        if _v and not _os.path.exists(_v):
+            print(f"[config] {_k} = {_v!r} does not exist here — ignoring "
+                  f"(generated fallback will NOT match reference-built maps)",
+                  file=_sys.stderr)
     orb = ORBConfig(
         n_features=int(g("ORBExtractor.nFeatures", 2000)),
         n_init_features=int(g("ORBExtractor.nInitFeatures", 2000)),

@@ -53,6 +53,7 @@ def extract_features_batch(
     ini_th: float,
     cell: int,
     undistort: bool,
+    brief_pair_matrix=None,
 ) -> Tuple[FrameFeatures, jnp.ndarray]:
     """[B, H, W] images → (FrameFeatures with [B, N] leading dims,
     patches f32[B, N, 48, 64]).
@@ -106,7 +107,7 @@ def extract_features_batch(
     patches = extract_patches_48x64(canvas, centers.reshape(B * N, 2))
     angles_rad = brief.orientations(patches)
     # describe() folds the pre-compare Gaussian blur into its sampling matrix
-    desc = brief.describe(patches, angles_rad).reshape(B, N, 8)
+    desc = brief.describe(patches, angles_rad, pair_matrix=brief_pair_matrix).reshape(B, N, 8)
     patches = patches.reshape(B, N, *patches.shape[1:])
     angles_rad = angles_rad.reshape(B, N)
 
@@ -138,6 +139,17 @@ def extract_features(
     return _slice_frame(feats, 0), patches[0]
 
 
+
+def _template_pair_matrix(cfg: SLAMConfig):
+    """Per-instance BRIEF sampling matrix: a configured reference template
+    binds to THIS extractor's closure (trace-time constant), so instances
+    with different templates never share module-global state."""
+    if cfg.orb.brief_template_path:
+        tpl = brief.load_template_file(cfg.orb.brief_template_path)
+        return brief.pair_matrix_for_template(tpl)
+    return None
+
+
 def make_extractor(cfg: SLAMConfig):
     """Jitted single-image extractor: img[H, W] f32, cam → features+patches."""
     o, c = cfg.orb, cfg.camera
@@ -147,6 +159,7 @@ def make_extractor(cfg: SLAMConfig):
         h=c.height, w=c.width, n_levels=o.n_levels, scale_factor=o.scale_factor,
         caps=caps, border=o.edge_border, min_th=float(o.min_th_fast),
         ini_th=float(o.ini_th_fast), cell=o.cell_size, undistort=c.has_distortion,
+        brief_pair_matrix=_template_pair_matrix(cfg),
     )
     return jax.jit(fn)
 
@@ -160,8 +173,7 @@ def make_stereo_frontend(cfg: SLAMConfig):
     """
     o, c, m = cfg.orb, cfg.camera, cfg.matcher
     caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
-    if o.brief_template_path:
-        brief.set_template_file(o.brief_template_path)
+    pair_matrix = _template_pair_matrix(cfg)
 
     def frontend(img_l: jnp.ndarray, img_r: jnp.ndarray, cam: cam_mod.CameraParams) -> StereoFrame:
         feats, patches = extract_features_batch(
@@ -169,6 +181,7 @@ def make_stereo_frontend(cfg: SLAMConfig):
             h=c.height, w=c.width, n_levels=o.n_levels, scale_factor=o.scale_factor,
             caps=caps, border=o.edge_border, min_th=float(o.min_th_fast),
             ini_th=float(o.ini_th_fast), cell=o.cell_size, undistort=c.has_distortion,
+            brief_pair_matrix=pair_matrix,
         )
         featL, featR = _slice_frame(feats, 0), _slice_frame(feats, 1)
         right_u, depth = stereo.stereo_match(
@@ -192,8 +205,7 @@ def make_rgbd_frontend(cfg: SLAMConfig):
     """
     o, c = cfg.orb, cfg.camera
     caps = tuple(level_capacities(o.max_keypoints, o.n_levels, o.scale_factor))
-    if o.brief_template_path:
-        brief.set_template_file(o.brief_template_path)
+    pair_matrix = _template_pair_matrix(cfg)
 
     def frontend(img: jnp.ndarray, depth_map: jnp.ndarray, cam: cam_mod.CameraParams) -> StereoFrame:
         feats, _ = extract_features(
@@ -201,6 +213,7 @@ def make_rgbd_frontend(cfg: SLAMConfig):
             h=c.height, w=c.width, n_levels=o.n_levels, scale_factor=o.scale_factor,
             caps=caps, border=o.edge_border, min_th=float(o.min_th_fast),
             ini_th=float(o.ini_th_fast), cell=o.cell_size, undistort=c.has_distortion,
+            brief_pair_matrix=pair_matrix,
         )
         yi = jnp.clip(jnp.round(feats.uv_raw[:, 1]).astype(jnp.int32), 0, c.height - 1)
         xi = jnp.clip(jnp.round(feats.uv_raw[:, 0]).astype(jnp.int32), 0, c.width - 1)

@@ -43,16 +43,12 @@ BLUR_PAD = 3             # 7-tap Gaussian apron
 _TEMPLATE_OVERRIDE = None  # set by set_template_file()
 
 
-def set_template_file(path: str) -> None:
-    """Load a BRIEF point-pair template in the reference's
+def load_template_file(path: str) -> np.ndarray:
+    """Parse a BRIEF point-pair template in the reference's
     ``brief_template.txt`` format — a ``x1 y1 x2 y2`` header followed by one
-    whitespace-separated pair per line (reference ORBExtractor.cc:242-267) —
-    and make it THE active template.  This gives descriptor-level
-    compatibility with maps/vocabularies built by the reference (our default
-    template is generated, a documented deviation).  Pads to 256 pairs with
-    (0,0,0,0) — a short file yields constant-0 trailing bits in the
-    reference too."""
-    global _TEMPLATE_OVERRIDE
+    whitespace-separated pair per line (reference ORBExtractor.cc:242-267).
+    Returns int32 [256, 4]; short files pad with (0,0,0,0) — a short file
+    yields constant-0 trailing bits in the reference too."""
     rows = []
     with open(path) as f:
         for line in f:
@@ -63,6 +59,8 @@ def set_template_file(path: str) -> None:
                 rows.append([float(v) for v in parts[:4]])
             except ValueError:
                 continue  # header line
+    if not rows:
+        raise ValueError(f"BRIEF template file {path!r} contains no point pairs")
     t = np.round(np.asarray(rows))
     if np.abs(t).max() > TEMPLATE_CLIP:
         # rotated reach beyond the patch apron would sample outside the patch
@@ -73,7 +71,17 @@ def set_template_file(path: str) -> None:
     t = t.astype(np.int32)
     if t.shape[0] < N_PAIRS:
         t = np.concatenate([t, np.zeros((N_PAIRS - t.shape[0], 4), np.int32)])
-    _TEMPLATE_OVERRIDE = t[:N_PAIRS]
+    return t[:N_PAIRS]
+
+
+def set_template_file(path: str) -> None:
+    """Make a file-loaded template the process-wide DEFAULT (used by
+    ``describe`` calls that don't pass an explicit ``pair_matrix``).  The
+    extractor factories instead bind their template per-instance via
+    ``pair_matrix_for_template`` — prefer that; this global exists for tests
+    and simple scripts."""
+    global _TEMPLATE_OVERRIDE
+    _TEMPLATE_OVERRIDE = load_template_file(path)
     brief_template.cache_clear()
     rotated_offset_lut.cache_clear()
     _pair_difference_matrix.cache_clear()
@@ -107,7 +115,11 @@ def rotated_offset_lut(seed: int = 17) -> np.ndarray:
     relative to the patch corner (reference rotates per-keypoint with floats,
     ORBExtractor.cc:427-456; here rotation is a compile-time table).
     """
-    tpl = brief_template(seed).astype(np.float64)
+    return _lut_from_template(brief_template(seed))
+
+
+def _lut_from_template(tpl: np.ndarray) -> np.ndarray:
+    tpl = tpl.astype(np.float64)
     out = np.zeros((N_ANGLE_BINS, 2 * N_PAIRS), np.int32)
     for b in range(N_ANGLE_BINS):
         th = 2.0 * np.pi * b / N_ANGLE_BINS
@@ -177,12 +189,30 @@ def _pair_difference_matrix(seed: int = 17):
     second point and −G7 at its first.  Folding the blur here deletes the
     separate 2.8 ms/frame blur pass; template reach (≤19) + apron (3) stays
     inside the 48×64 patch, so edge handling never differs."""
+    return _pair_matrix_from_lut(rotated_offset_lut(seed))
+
+
+_PAIR_MATRIX_CACHE: dict = {}
+
+
+def pair_matrix_for_template(tpl: np.ndarray) -> np.ndarray:
+    """Folded-blur sampling matrix for an EXPLICIT template array — bound
+    per extractor instance by the frontend factories, so two SLAM instances
+    with different templates in one process never share state (the
+    module-global ``set_template_file`` default cannot guarantee that under
+    lazy jit tracing)."""
+    key = tpl.tobytes()
+    if key not in _PAIR_MATRIX_CACHE:
+        _PAIR_MATRIX_CACHE[key] = _pair_matrix_from_lut(_lut_from_template(tpl))
+    return _PAIR_MATRIX_CACHE[key]
+
+
+def _pair_matrix_from_lut(lut: np.ndarray) -> np.ndarray:
     import numpy as _np
 
     from .pyramid import _gaussian_kernel_1d
 
     P = PATCH_ROWS * PATCH_COLS
-    lut = rotated_offset_lut(seed)
     k1 = _gaussian_kernel_1d(7, 2.0).astype(_np.float64)
     g7 = _np.outer(k1, k1)  # [7, 7]
     D = _np.zeros((P, N_ANGLE_BINS * N_PAIRS), _np.float32)
@@ -202,7 +232,12 @@ def _pair_difference_matrix(seed: int = 17):
     return D
 
 
-def describe(patches: jnp.ndarray, angles: jnp.ndarray, seed: int = 17) -> jnp.ndarray:
+def describe(
+    patches: jnp.ndarray,
+    angles: jnp.ndarray,
+    seed: int = 17,
+    pair_matrix: np.ndarray | None = None,
+) -> jnp.ndarray:
     """BRIEF descriptors uint32[N, 8] from RAW patches [N, P, P] + angles.
 
     bit i = I_blur(rot(p1_i)) < I_blur(rot(p2_i)), packed little-endian into
@@ -219,7 +254,8 @@ def describe(patches: jnp.ndarray, angles: jnp.ndarray, seed: int = 17) -> jnp.n
     # bf16 inputs, f32 accumulate: ±1 pair entries are exact, patch values
     # round to ~1 gray level — comparisons of near-equal intensities are
     # noise-dominated anyway, and the matmul runs 4-8× faster than f32
-    D = jnp.asarray(_pair_difference_matrix(seed)).astype(jnp.bfloat16)
+    D_np = pair_matrix if pair_matrix is not None else _pair_difference_matrix(seed)
+    D = jnp.asarray(D_np).astype(jnp.bfloat16)
     scores = jnp.dot(flat, D, preferred_element_type=jnp.float32).reshape(
         n, N_ANGLE_BINS, N_PAIRS
     )

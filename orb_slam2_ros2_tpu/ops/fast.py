@@ -77,7 +77,12 @@ def fast_score_dispatch(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     ≥19 px keypoint border discards."""
     import os
 
-    if jax.default_backend() == "cpu" or os.environ.get("SLAM_DISABLE_PALLAS_FAST"):
+    # positive-list TPU-class backends only ('tpu' locally, 'axon' over the
+    # tunnel): GPU pallas lowering does not accept this kernel's clamped-halo
+    # BlockSpecs, and CPU prefers the XLA formulation
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    disabled = os.environ.get("SLAM_DISABLE_PALLAS_FAST", "").lower() not in ("", "0", "false")
+    if not on_tpu or disabled:
         return fast_score(img, threshold)
     from .pallas_fast import fast_score_pallas
 

@@ -135,7 +135,9 @@ def extract_patches_xla(canvas: jnp.ndarray, centers_yx: jnp.ndarray) -> jnp.nda
 
 
 def extract_patches_48x64(canvas: jnp.ndarray, centers_yx: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch: Pallas DMA on TPU-class backends, XLA gather elsewhere."""
-    if jax.default_backend() == "cpu":
+    """Dispatch: Pallas DMA on TPU-class backends ('tpu' locally, 'axon' over
+    the tunnel), XLA gather elsewhere (CPU and GPU — the DMA/SMEM layout is
+    TPU-specific)."""
+    if jax.default_backend() not in ("tpu", "axon"):
         return extract_patches_xla(canvas, centers_yx)
     return extract_patches_pallas(canvas, centers_yx)

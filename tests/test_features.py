@@ -236,3 +236,37 @@ def test_pallas_fast_matches_xla_interior():
         ker = np.asarray(fast_score_pallas(img, 7.0, interpret=True), np.float32)
         m = 4
         np.testing.assert_array_equal(ker[:, m:-m, m:-m], ref[:, m:-m, m:-m])
+
+
+@pytest.mark.smoke
+def test_template_binds_per_instance(tmp_path):
+    """A configured template must bind to ITS extractor only: a template-less
+    instance created afterwards keeps the default descriptors (no module-
+    global leakage across SLAM instances)."""
+    import dataclasses
+
+    rng = np.random.default_rng(9)
+    t = np.clip(np.round(rng.normal(0, 6, (256, 4))), -13, 13).astype(int)
+    path = tmp_path / "tmpl.txt"
+    path.write_text("x1 y1 x2 y2\n" + "\n".join(" ".join(map(str, r)) for r in t))
+
+    cfg_plain = small_cfg()
+    cfg_tmpl = cfg_plain.replace(
+        orb=dataclasses.replace(cfg_plain.orb, brief_template_path=str(path))
+    )
+    ds = SyntheticStereoDataset(cfg_plain.camera, n_frames=1)
+    img, _, _ = ds.frame(0)
+    cam = CameraParams.from_config(cfg_plain.camera)
+
+    ex_tmpl = make_extractor(cfg_tmpl)
+    f_tmpl, _ = ex_tmpl(img, cam)          # traces with the file template
+    ex_plain = make_extractor(cfg_plain)
+    f_plain, _ = ex_plain(img, cam)        # must NOT inherit the template
+
+    ex_plain2 = make_extractor(small_cfg())
+    f_plain2, _ = ex_plain2(img, cam)
+    v = np.asarray(f_plain.valid) & np.asarray(f_plain2.valid) & np.asarray(f_tmpl.valid)
+    np.testing.assert_array_equal(
+        np.asarray(f_plain.desc)[v], np.asarray(f_plain2.desc)[v]
+    )
+    assert (np.asarray(f_tmpl.desc)[v] != np.asarray(f_plain.desc)[v]).any()
