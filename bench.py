@@ -192,7 +192,8 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)  # flush: the secondary bench below
+    # may be killed by an outer timeout — the headline must already be out
     print(
         json.dumps(
             {
