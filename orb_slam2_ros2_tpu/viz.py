@@ -56,3 +56,48 @@ def hud_stats(slam) -> dict:
         "state": slam.state.name,
         "loops_closed": getattr(slam, "loops_closed", 0),
     }
+
+
+def draw_stereo_matches(
+    path: str,
+    img_left: np.ndarray,
+    img_right: np.ndarray,
+    frame,
+    max_lines: int = 200,
+) -> bool:
+    """Side-by-side stereo pair with keypoints and left→right match lines —
+    the reference's manual-debug helper Frame::showStereoMatches
+    (Frame.cc:16-50).  ``frame`` is a StereoFrame (uv_raw, right_u, depth).
+    Returns False when matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+
+    L = np.asarray(img_left)
+    R = np.asarray(img_right)
+    h, w = L.shape
+    canvas = np.concatenate([L, R], axis=1)
+
+    uv = np.asarray(frame.feats.uv_raw)
+    valid = np.asarray(frame.feats.valid)
+    right_u = np.asarray(frame.right_u)
+    matched = valid & (right_u > 0)
+
+    fig, ax = plt.subplots(figsize=(14, 5))
+    ax.imshow(canvas, cmap="gray", vmin=0, vmax=255)
+    ax.scatter(uv[valid, 0], uv[valid, 1], s=4, c="#1f77b4", label="keypoints")
+    idx = np.nonzero(matched)[0][:max_lines]
+    for i in idx:
+        ax.plot([uv[i, 0], right_u[i] + w], [uv[i, 1], uv[i, 1]],
+                "-", c="#2ca02c", lw=0.4)
+    ax.scatter(right_u[idx] + w, uv[idx, 1], s=4, c="#2ca02c",
+               label=f"stereo matches ({int(matched.sum())})")
+    ax.set_axis_off()
+    ax.legend(loc="upper right")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return True
