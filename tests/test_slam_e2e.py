@@ -146,3 +146,26 @@ def test_grow_map_matches_empty_padding(cfg):
         a, b = getattr(grown, name), getattr(target, name)
         assert a.shape == b.shape and a.dtype == b.dtype, name
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_tracking_robust_to_image_noise(cfg):
+    """Sensor-noise robustness: i.i.d. Gaussian noise (σ=6 gray levels) on
+    every frame must not break tracking — FAST thresholds, matching gates and
+    the robust pose loss absorb it (the reference relies on the same
+    mechanisms; it publishes no robustness numbers)."""
+    rng = np.random.default_rng(42)
+    n = 25
+    ds = SyntheticStereoDataset(cfg.camera, n_frames=n, speed=0.35)
+    slam = SLAM(cfg)
+    est, gt = [], []
+    for i in range(n):
+        imgL, imgR, Twc_gt = ds.frame(i)
+        nL = jnp.asarray(np.asarray(imgL) + rng.normal(0, 6, imgL.shape).astype(np.float32))
+        nR = jnp.asarray(np.asarray(imgR) + rng.normal(0, 6, imgR.shape).astype(np.float32))
+        Tcw, stats = slam.track(nL, nR)
+        if Tcw is not None:
+            est.append(np.linalg.inv(Tcw))
+            gt.append(Twc_gt)
+    assert len(est) >= 0.9 * n, f"tracked only {len(est)}/{n} noisy frames"
+    ate = ate_rmse(est, gt)
+    assert ate < 0.08 * (n * 0.35), f"noisy ATE {ate:.3f} m"
