@@ -143,7 +143,14 @@ def main():
     log("rendered")
 
     frontend = jax.jit(make_stereo_frontend(cfg))
-    sf0 = frontend(frames_l[0], frames_r[0], cam)
+    try:
+        sf0 = frontend(frames_l[0], frames_r[0], cam)
+    except Exception as e:  # noqa: BLE001 — a Pallas/Mosaic compile regression
+        # must degrade to the XLA formulation, not void the capture
+        log(f"frontend compile failed ({type(e).__name__}); retrying with Pallas kernels disabled")
+        os.environ["SLAM_DISABLE_PALLAS_FAST"] = "1"
+        frontend = jax.jit(make_stereo_frontend(cfg))
+        sf0 = frontend(frames_l[0], frames_r[0], cam)
     Tcw0 = jnp.eye(4, dtype=jnp.float32)
     pw, has = jax.jit(unproject_frame)(cam, sf0, Tcw0)
     state0 = TrackedFrame(frame=sf0, Tcw=Tcw0, pw=pw, has_pw=has)

@@ -59,9 +59,15 @@ def _kernel(top_ref, mid_ref, bot_ref, out_ref, *, threshold: float):
         return out
 
     score = jnp.maximum(arc_scores(d), arc_scores([-x for x in d]))
-    score = jnp.where(score > threshold, score, jnp.zeros_like(score))
-    zpad = jnp.zeros((BH, _HPAD), score.dtype)
-    out_ref[0] = jnp.concatenate([zpad, score, zpad], axis=1)
+    # threshold compare in f32: v5e Mosaic rejects bf16 vector comparisons
+    gate = score.astype(jnp.float32) > jnp.float32(threshold)
+    score = jnp.where(gate, score, jnp.zeros_like(score))
+    # store at lane offset 0 (score column j IS image column j); the lanes
+    # ≥ wc are never written and the caller crops them away.  A full-width
+    # concatenate with zero pads here trips an unimplemented Mosaic relayout
+    # (offset-mismatched tpu.concatenate) on v5e — the offset-0 slice store
+    # only needs the standard value relayout.
+    out_ref[0, :, :wc] = score
 
 
 def fast_score_pallas(
@@ -85,4 +91,4 @@ def fast_score_pallas(
         out_specs=pl.BlockSpec((1, BH, Wp), lambda b, i: (b, i, 0)),
         interpret=interpret,
     )(x, x, x)
-    return out[:, :H, _HPAD : _HPAD + W]
+    return out[:, :H, :W]

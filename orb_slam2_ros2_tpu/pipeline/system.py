@@ -835,8 +835,9 @@ class SLAM:
             if stats.get("next_mp", 0) + headroom >= self.map.mp_capacity:
                 self._grow(mp_capacity=2 * self.map.mp_capacity)
         self._flush_pending(next_kf_arriving=True)
-        self.map, kf_id, self.local, last_mp_ids, last_Tcw = self._map_front(
-            self.map, cur.frame, cur.Tcw, cur.mp_ids, fid, self.cam
+        self.map, kf_id, self.local, last_mp_ids, last_Tcw = self._timed(
+            "map_front", self._map_front,
+            self.map, cur.frame, cur.Tcw, cur.mp_ids, fid, self.cam,
         )
         kf_id_i = self._n_kf
         self._n_kf += 1
@@ -902,10 +903,12 @@ class SLAM:
         kf_id_i, kf_id = self._pending_kf
         self._pending_kf = None
         self._kfs_since_ba = 0
-        self.map, self.local, kf_Tcw_before = self._map_tail(self.map, kf_id, self.cam)
+        self.map, self.local, kf_Tcw_before = self._timed(
+            "map_tail", self._map_tail, self.map, kf_id, self.cam
+        )
         closed = False
         if self.enable_loop_closing:
-            closed = self._loop_close(kf_id_i)
+            closed = self._timed("loop", self._loop_close, kf_id_i)
         if closed:
             # refresh the snapshot on the corrected map and re-anchor the
             # tracker's pose chain by the correction applied to its reference
