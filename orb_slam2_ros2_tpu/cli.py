@@ -139,8 +139,11 @@ def main(argv=None):
         q.add_argument("--config", default="")
         q.add_argument("--frames", type=int, default=0)
         q.add_argument("--out", default="trajectory")
-        q.add_argument("--save-map", default="")
-        q.add_argument("--load-map", default="")
+        q.add_argument("--save-map", default="",
+                       help="map output: *.pb = reference protobuf, dir/ = "
+                            "reference txt streams, else native npz")
+        q.add_argument("--load-map", default="",
+                       help="map input: *.pb, txt-stream directory, or npz stem")
         q.add_argument("--speed", type=float, default=0.8)
         q.add_argument("--circle", action="store_true")
         q.add_argument("--gt", default="", help="ground-truth pose file (auto-detected if omitted)")

@@ -35,8 +35,11 @@ def _desc_to_u32(data: bytes) -> np.ndarray:
     return buf[:32].view(np.uint32)
 
 
-def save_proto_map(path: str, state: MapState, cfg: SLAMConfig, vocab=None) -> None:
-    """Serialize a MapState as the reference's MapData (Map.cc:200-249)."""
+def state_to_msg(state: MapState, cfg: SLAMConfig, vocab=None):
+    """Build the reference's MapData message from a MapState (Map.cc:200-249).
+
+    Shared by the protobuf writer and the txt-stream writer (txt_map.py): the
+    message carries exactly the fields both reference formats persist."""
     from ..proto import MapData
 
     kf_valid = np.asarray(state.kf_valid)
@@ -148,19 +151,19 @@ def save_proto_map(path: str, state: MapState, cfg: SLAMConfig, vocab=None) -> N
             float(mp_norm[m, 0]), float(mp_norm[m, 1]), float(mp_norm[m, 2]))
         mp.desc.data = mp_desc[m].tobytes()
 
+    return msg
+
+
+def save_proto_map(path: str, state: MapState, cfg: SLAMConfig, vocab=None) -> None:
+    """Serialize a MapState as the reference's MapData (Map.cc:200-249)."""
     with open(path, "wb") as f:
-        f.write(msg.SerializeToString())
+        f.write(state_to_msg(state, cfg, vocab).SerializeToString())
 
 
-def load_proto_map(path: str, cfg: SLAMConfig) -> MapState:
-    """Parse a reference MapData file into a MapState (Map.cc:252-319 +
-    the processConnection relink at :322-381, as array rebuilds)."""
-    from ..proto import MapData
-
-    msg = MapData()
-    with open(path, "rb") as f:
-        msg.ParseFromString(f.read())
-
+def msg_to_state(msg, cfg: SLAMConfig) -> MapState:
+    """Assemble a MapState from a MapData message (Map.cc:252-319 + the
+    processConnection relink at :322-381, as array rebuilds).  Shared by the
+    protobuf and txt-stream loaders."""
     state = empty_map(cfg)
     K, N = cfg.map.max_keyframes, cfg.orb.max_keypoints
     M, O = cfg.map.max_mappoints, cfg.map.max_obs_per_mp
@@ -284,3 +287,13 @@ def load_proto_map(path: str, cfg: SLAMConfig) -> MapState:
         next_kf=jnp.asarray(len(kfs), jnp.int32),
         next_mp=jnp.asarray(len(mps), jnp.int32),
     )
+
+
+def load_proto_map(path: str, cfg: SLAMConfig) -> MapState:
+    """Parse a reference MapData file into a MapState."""
+    from ..proto import MapData
+
+    msg = MapData()
+    with open(path, "rb") as f:
+        msg.ParseFromString(f.read())
+    return msg_to_state(msg, cfg)

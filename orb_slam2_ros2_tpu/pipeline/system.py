@@ -1003,14 +1003,24 @@ class SLAM:
     def save(self, path: str) -> None:
         """Persist map + vocabulary (reference map save at shutdown,
         System.cc:194-198).  A ``.pb`` path writes the reference's protobuf
-        MapData format (Map.cc:200-249) for cross-system reuse; otherwise the
-        native npz of the SoA stores."""
+        MapData format (Map.cc:200-249); a directory path (trailing ``/`` or
+        an existing directory) writes the reference's txt streams
+        KeyFrames.txt + MapPoints.txt (Map.cc:82-108); otherwise the native
+        npz of the SoA stores."""
+        import os
+
         self.flush()
         if path.endswith(".pb"):
             from ..io.proto_map import save_proto_map
 
             vocab = self.loop_closer.vocab if self.loop_closer else None
             save_proto_map(path, self.map, self.cfg, vocab=vocab)
+            return
+        if path.endswith(os.sep) or os.path.isdir(path):
+            from ..io.txt_map import save_txt_map
+
+            vocab = self.loop_closer.vocab if self.loop_closer else None
+            save_txt_map(path, self.map, self.cfg, vocab=vocab)
             return
         from ..io.persistence import save_map
         from ..bow.vocabulary import save_vocabulary
@@ -1022,7 +1032,8 @@ class SLAM:
     def load(self, path: str) -> None:
         """Load a map for continued SLAM or localization-only reuse
         (reference System.cc:98-110 + OnlyTracking mode).  ``.pb`` paths load
-        reference-format protobuf maps; the keyframe database is rebuilt with
+        reference-format protobuf maps, directory paths load the reference's
+        txt streams (Map.cc:116-162); the keyframe database is rebuilt with
         whatever vocabulary resolves (System.cc:104-110)."""
         import os
 
@@ -1035,6 +1046,11 @@ class SLAM:
             from ..io.proto_map import load_proto_map
 
             self.map = load_proto_map(path, self.cfg)
+            vocab = self._resolve_vocab(0)
+        elif os.path.isdir(path) or path.endswith(os.sep):
+            from ..io.txt_map import load_txt_map
+
+            self.map = load_txt_map(path, self.cfg)
             vocab = self._resolve_vocab(0)
         else:
             from ..io.persistence import load_map
