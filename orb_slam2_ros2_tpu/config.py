@@ -117,6 +117,10 @@ class TrackingConfig:
     min_localmap_inliers: int = 30
     min_localmap_inliers_reloc: int = 50
     only_tracking: bool = False
+    # abort with FeatureLessError after this many consecutive failed stereo
+    # initializations (the reference spins in NOT_INITING forever; ours fails
+    # fast — a camera producing featureless frames is a setup error)
+    max_init_failures: int = 60
     # capacity of the device-resident local-map snapshot (1st+2nd ring MPs)
     max_local_mappoints: int = 16384
     max_local_keyframes: int = 64
@@ -252,6 +256,12 @@ class SLAMConfig:
         keys (``Camera.fx`` etc., reference System.cc:18-79) for drop-in use of
         existing config files.
         """
+        import os as _os
+
+        if not _os.path.exists(path):
+            from .errors import FileNotOpenError
+
+            raise FileNotOpenError(f"config file not found: {path}")
         with open(path) as f:
             text = f.read()
         # cv::FileStorage YAML begins with a %YAML directive line that PyYAML

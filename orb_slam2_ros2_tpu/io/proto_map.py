@@ -116,6 +116,21 @@ def state_to_msg(state: MapState, cfg: SLAMConfig, vocab=None):
             norm = max(float(np.linalg.norm(vals)), 1e-9)
             for u, v in zip(uniq, vals):
                 kf.bow_vector.words[int(u)] = float(v / norm)
+            # DBoW3 feature-vector: group this keyframe's saved features by
+            # vocabulary word (leaf node ids), so the reference's
+            # searchByBow/relocalization over an exported map finds feature
+            # groups (KeyFrame.cc:483-496 readers).  Interop caveat: node ids
+            # are only meaningful when both sides load the SAME vocabulary;
+            # leaf-level grouping is stricter than ORBvoc's levelsUp=4 nodes.
+            fv_groups: dict = {}
+            for local_j, j in enumerate(sel):
+                wid = int(w[j])
+                if wid >= 0:
+                    fv_groups.setdefault(wid, []).append(local_j)
+            for wid in sorted(fv_groups):
+                node = kf.feature_vector.nodes.add()
+                node.node_id = wid
+                node.feature_ids.extend(fv_groups[wid])
 
     mp_pos = np.asarray(state.mp_pos)
     mp_norm = np.asarray(state.mp_normal)

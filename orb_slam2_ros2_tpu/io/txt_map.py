@@ -106,8 +106,11 @@ def load_txt_map(dir_path: str, cfg: SLAMConfig) -> MapState:
 
     with open(os.path.join(dir_path, "KeyFrames.txt")) as f:
         lines = [ln.rstrip("\n") for ln in f]
-    if not lines:
-        raise ValueError(f"empty KeyFrames.txt in {dir_path}")
+    if not lines or not lines[0].strip():
+        # a zero-keyframe map saved by the reference is an empty file (the
+        # header is written inside the first keyframe's operator<<,
+        # KeyFrame.cc:459-469) — valid there, so valid here: empty map
+        return msg_to_state(msg, cfg)
     header = lines[0].split()
     msg.keyframes.next_id = int(float(header[0]))
     msg.keyframes.scale_factors.extend(float(s) for s in header[1:])
@@ -143,6 +146,10 @@ def load_txt_map(dir_path: str, cfg: SLAMConfig) -> MapState:
             node = kf.feature_vector.nodes.add()
             node.node_id = int(fv_tok[j])
             n = int(fv_tok[j + 1])
+            if n < 0:  # corrupt count would otherwise stall the parse loop
+                raise ValueError(
+                    f"corrupt feature-vector count {n} in KeyFrames.txt line {i + 5}"
+                )
             node.feature_ids.extend(int(v) for v in fv_tok[j + 2:j + 2 + n])
             j += 2 + n
         p_tok = [float(x) for x in lines[i + 5].split()]

@@ -49,6 +49,12 @@ def load_template_file(path: str) -> np.ndarray:
     whitespace-separated pair per line (reference ORBExtractor.cc:242-267).
     Returns int32 [256, 4]; short files pad with (0,0,0,0) — a short file
     yields constant-0 trailing bits in the reference too."""
+    import os
+
+    if not os.path.exists(path):
+        from ..errors import FileNotOpenError
+
+        raise FileNotOpenError(f"BRIEF template file not found: {path}")
     rows = []
     with open(path) as f:
         for line in f:

@@ -528,10 +528,36 @@ class SLAM:
             w = w[::-1].copy()
         return (a[..., :3].astype(np.float32) @ w)
 
+    def _validate_images(self, img_left, img_right) -> None:
+        """Shape gate on the hot path (reference ImageSizeError, Error.h +
+        ORBExtractor.cc:312).  A wrong-sized input would otherwise silently
+        retrace every jitted program — minutes of recompile — instead of
+        failing fast.  Reads ndim/shape metadata only: no device sync."""
+        from ..errors import ImageSizeError
+
+        h, w = self.cfg.camera.height, self.cfg.camera.width
+        want_color = self.cfg.camera.color != 0
+        for name, img, color_ok in (
+            ("left", img_left, want_color),
+            ("depth" if self.rgbd else "right", img_right, want_color and not self.rgbd),
+        ):
+            shape = tuple(img.shape)
+            ok = shape[:2] == (h, w) and (
+                len(shape) == 2 or (len(shape) == 3 and shape[2] in (3, 4) and color_ok)
+            )
+            if not ok:
+                raise ImageSizeError(
+                    f"{name} image shape {shape} does not match the configured "
+                    f"camera {h}x{w}"
+                    + (" (3-channel input requires camera.color != 0)"
+                       if len(shape) == 3 and not color_ok else "")
+                )
+
     def track(self, img_left, img_right) -> Tuple[Optional[np.ndarray], dict]:
         """Feed one stereo pair (or RGB + depth map in rgbd mode)."""
         import time as _time
 
+        self._validate_images(img_left, img_right)
         t_frame0 = _time.perf_counter()
         img_left = self._to_gray(img_left)
         if not self.rgbd:  # in rgbd mode img_right is the depth map
@@ -620,7 +646,18 @@ class SLAM:
         n_depth = int(jnp.sum((frame.depth > 0).astype(jnp.int32)))
         if n_depth < self.cfg.tracking.min_init_depth_kps:
             self.state = TrackState.NOT_INITING
+            self._init_failures = getattr(self, "_init_failures", 0) + 1
+            if self._init_failures >= self.cfg.tracking.max_init_failures:
+                from ..errors import FeatureLessError
+
+                raise FeatureLessError(
+                    f"stereo initialization starved: {self._init_failures} "
+                    f"consecutive frames with < "
+                    f"{self.cfg.tracking.min_init_depth_kps} depth keypoints "
+                    f"(last: {n_depth})"
+                )
             return None, {"init_depth_kps": n_depth}
+        self._init_failures = 0
         Tcw = jnp.eye(4, dtype=jnp.float32)
         no_mp = jnp.full((frame.feats.capacity,), -1, jnp.int32)
         self.map, kf_id = self._insert_kf(self.map, frame, Tcw, no_mp, fid, self.cam)
@@ -951,6 +988,10 @@ class SLAM:
 
         b = self.cfg.bow
         if b.vocab_path:
+            if not os.path.exists(b.vocab_path):
+                from ..errors import FileNotOpenError
+
+                raise FileNotOpenError(f"vocabulary file not found: {b.vocab_path}")
             if b.vocab_path.endswith(".txt"):
                 return V.load_dbow_text(b.vocab_path)
             return V.load_vocabulary(b.vocab_path)
@@ -1016,12 +1057,26 @@ class SLAM:
             vocab = self.loop_closer.vocab if self.loop_closer else None
             save_proto_map(path, self.map, self.cfg, vocab=vocab)
             return
-        if path.endswith(os.sep) or os.path.isdir(path):
+        if (
+            path.endswith(os.sep)
+            or (os.altsep and path.endswith(os.altsep))
+            or path.endswith("/")
+            or os.path.isdir(path)
+        ):
             from ..io.txt_map import save_txt_map
 
             vocab = self.loop_closer.vocab if self.loop_closer else None
             save_txt_map(path, self.map, self.cfg, vocab=vocab)
             return
+        if not os.path.splitext(path)[1]:
+            import sys as _sys
+
+            print(
+                f"[slam] save path {path!r} has no extension and is not a "
+                f"directory — writing native npz; append '/' for the "
+                f"reference txt format or '.pb' for protobuf",
+                file=_sys.stderr,
+            )
         from ..io.persistence import save_map
         from ..bow.vocabulary import save_vocabulary
 
@@ -1041,6 +1096,11 @@ class SLAM:
         from ..bow.vocabulary import load_vocabulary
         from .loop_closing import LoopCloser
 
+        candidates = (path, path + ".map.npz", path + os.sep)
+        if not any(os.path.exists(p) for p in candidates):
+            from ..errors import FileNotOpenError
+
+            raise FileNotOpenError(f"map not found at {path!r} (tried {candidates})")
         vocab = None
         if path.endswith(".pb"):
             from ..io.proto_map import load_proto_map
