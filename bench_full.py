@@ -68,9 +68,14 @@ def main():
 
     t0 = time.perf_counter()
     tracked = 0
+    kf_flags, inliers = [], []
+    n_ft0 = len(slam.frame_times_ms)
     for i in range(WARM, WARM + N_FRAMES):
+        n_kf_before = slam._n_kf
         Tcw, stats = slam.track(*frames[i])
         tracked += Tcw is not None
+        kf_flags.append(slam._n_kf > n_kf_before)
+        inliers.append(stats.get("n_tracked", 0))
     slam.flush()
     jax.block_until_ready(slam.map.kf_Tcw)
     dt = time.perf_counter() - t0
@@ -79,6 +84,14 @@ def main():
     ms = 1000.0 * dt / N_FRAMES
     # subtract the per-frame tunnel sync floor for the deployment-relevant rate
     ms_device = max(ms - rtt * 1000.0, 1e-3)
+    # per-frame wall-time split: keyframe frames (insert + mapping front) vs
+    # pure tracking frames (which may still absorb a deferred BA tail)
+    ft = np.asarray(slam.frame_times_ms[n_ft0:n_ft0 + N_FRAMES])
+    kf_mask = np.asarray(kf_flags)
+
+    def pct(a, q):
+        return round(float(np.percentile(a, q)), 1) if len(a) else None
+
     out = {
         "metric": "kitti_size_full_slam_fps",
         "value": round(fps, 2),
@@ -89,6 +102,12 @@ def main():
             "ms_per_frame_minus_rtt": round(ms_device, 2),
             "fps_minus_rtt": round(1000.0 / ms_device, 2),
             "tracked": tracked,
+            "keyframes_inserted": int(kf_mask.sum()),
+            "kf_frame_ms_p50": pct(ft[kf_mask], 50),
+            "kf_frame_ms_p99": pct(ft[kf_mask], 99),
+            "track_frame_ms_p50": pct(ft[~kf_mask], 50),
+            "track_frame_ms_p99": pct(ft[~kf_mask], 99),
+            "median_inliers": int(np.median(inliers)),
             "keyframes": slam.n_keyframes,
             "mappoints": slam.n_mappoints,
             "device": str(jax.devices()[0]),

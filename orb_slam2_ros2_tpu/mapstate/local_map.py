@@ -32,17 +32,16 @@ class LocalMap(NamedTuple):
     kf_mask: jnp.ndarray    # bool[K] membership mask of local KFs
 
 
-def covisible_kfs(state: MapState, kf_id, n_first: int, n_second: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """1st + 2nd ring covisible keyframes of ``kf_id`` as a bounded id list
-    and a K-mask (reference Tracking.cc:277-314).  The first ring is the
-    top-``n_first`` covisibility neighbours; the second ring adds the best
-    neighbour of each first-ring KF."""
+def _rings_from_weights(
+    state: MapState, w: jnp.ndarray, n_first: int, n_second: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ring-1 = top-``n_first`` keyframes by weight ``w [K]``; ring-2 = the
+    top-``n_second`` covisibility neighbours of each ring-1 KF.  Returns the
+    ring-1 id list and the combined K-mask."""
     K = state.kf_capacity
-    w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
     w1, ids1 = topk_bounded(w, n_first)
     ring1 = jnp.where(w1 > 0, ids1, -1)
 
-    # second ring: top-n_second neighbours of each ring-1 KF
     rows = state.covis[jnp.clip(ring1, 0, K - 1)] * state.kf_valid.astype(jnp.int32)[None, :]
     w2, ids2 = topk_bounded(rows, n_second)
     ring2 = jnp.where((w2 > 0) & (ring1[:, None] >= 0), ids2, -1)
@@ -50,9 +49,32 @@ def covisible_kfs(state: MapState, kf_id, n_first: int, n_second: int) -> Tuple[
     mask = jnp.zeros((K,), bool)
     mask = mask.at[jnp.where(ring1 >= 0, ring1, K)].set(True, mode="drop")
     mask = mask.at[jnp.where(ring2 >= 0, ring2, K).reshape(-1)].set(True, mode="drop")
-    mask = mask.at[kf_id].set(True)
     mask = mask & state.kf_valid
     return ring1, mask
+
+
+def covisible_kfs(state: MapState, kf_id, n_first: int, n_second: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1st + 2nd ring covisible keyframes of ``kf_id`` as a bounded id list
+    and a K-mask (reference Tracking.cc:277-314).  The first ring is the
+    top-``n_first`` covisibility neighbours; the second ring adds the best
+    neighbours of each first-ring KF."""
+    w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
+    ring1, mask = _rings_from_weights(state, w, n_first, n_second)
+    mask = mask.at[kf_id].set(True) & state.kf_valid
+    return ring1, mask
+
+
+def frame_observer_weights(state: MapState, mp_ids: jnp.ndarray) -> jnp.ndarray:
+    """Per-keyframe count of the frame's tracked map points each KF observes
+    (the reference's K1 vote, Tracking::buildLocalMap Tracking.cc:277-300).
+    ``mp_ids [N]`` is the frame's per-feature map-point table (−1 = none)."""
+    K = state.kf_capacity
+    M = state.mp_capacity
+    tracked = mp_ids >= 0
+    obs_kf = state.mp_obs_kf[jnp.clip(mp_ids, 0, M - 1)]      # [N, O]
+    src = jnp.where(tracked[:, None] & (obs_kf >= 0), obs_kf, K)
+    counts = jnp.zeros((K + 1,), jnp.int32).at[src.reshape(-1)].add(1, mode="drop")[:K]
+    return counts * state.kf_valid.astype(jnp.int32)
 
 
 def local_map_snapshot(
@@ -60,9 +82,28 @@ def local_map_snapshot(
     max_kfs: int = 64, max_mps: int = 16384,
 ) -> LocalMap:
     """Collect the local map around ``kf_id`` into fixed-size arrays."""
-    K = state.kf_capacity
     _, kf_mask = covisible_kfs(state, kf_id, n_first, n_second)
+    return _snapshot_from_mask(state, kf_mask, max_kfs=max_kfs, max_mps=max_mps)
 
+
+def local_map_snapshot_frame(
+    state: MapState, mp_ids: jnp.ndarray, *, n_first: int = 10,
+    n_second: int = 5, max_kfs: int = 64, max_mps: int = 16384,
+) -> LocalMap:
+    """Frame-centered local map: ring-1 = the keyframes observing the most of
+    the frame's tracked points, ring-2 = their best covisibility neighbours —
+    the reference's per-frame buildLocalMap (Tracking.cc:277-326).  A
+    snapshot centered on a single keyframe goes stale between sparse
+    keyframes under rotation; this one follows the frame."""
+    w = frame_observer_weights(state, mp_ids)
+    _, kf_mask = _rings_from_weights(state, w, n_first, n_second)
+    return _snapshot_from_mask(state, kf_mask, max_kfs=max_kfs, max_mps=max_mps)
+
+
+def _snapshot_from_mask(
+    state: MapState, kf_mask: jnp.ndarray, *, max_kfs: int, max_mps: int
+) -> LocalMap:
+    K = state.kf_capacity
     # bounded local KF id list
     kf_score = jnp.where(kf_mask, 1, 0)
     kfv, kf_ids_all = topk_bounded(kf_score * (K - jnp.arange(K)), max_kfs)

@@ -62,16 +62,24 @@ def triangulate_new_points(
     """Create new map points by triangulating the new KF against its top
     covisible neighbours (reference createNewMapPoints, LocalMapping.cc:165-339).
 
-    For each neighbour (static unrolled loop over ``n_neighbors``):
-    baseline gate → dense hamming match of *unmatched* features with epipolar
-    gate → parallax choice (triangulate vs stereo unproject) → quality gates →
-    allocate new map points with observations in both keyframes.
+    All ``n_neighbors`` neighbours are processed in ONE batched pass (r3
+    perf work — the former per-neighbour unrolled loop serialized ten
+    scatter-chains and ten [N,N] hamming launches): baseline gate → dense
+    hamming match of *unmatched* features with epipolar gate over the stacked
+    [J,N,N] candidate tensor → per-feature neighbour selection in
+    covisibility order → parallax choice (triangulate vs stereo unproject) →
+    quality gates → single allocation pass with direct 2-entry observation
+    writes.  Per-feature semantics match the loop: each new-KF feature
+    creates at most one point, against the first (best-covisibility)
+    neighbour that matches it.
     """
     N = state.kf_uv.shape[1]
     K = state.kf_capacity
+    J = n_neighbors
+    BIG = 1 << 20
     w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
     # padded slots carry weight 0 → every per-neighbour gate below skips them
-    nb_w, nb_ids = topk_bounded(w, n_neighbors)
+    nb_w, nb_ids = topk_bounded(w, J)
 
     Tcw1 = state.kf_Tcw[kf_id]
     Twc1 = se3.inverse(Tcw1)
@@ -80,136 +88,155 @@ def triangulate_new_points(
     oct1 = state.kf_octave[kf_id]
     desc1 = state.kf_desc[kf_id]
     depth1 = state.kf_depth[kf_id]
-    ru1 = state.kf_right_u[kf_id]
     free1 = state.kf_feat_valid[kf_id] & (state.kf_mp_idx[kf_id] < 0)
 
+    # ---- per-neighbour gathers [J, ...] ----------------------------------
+    Tcw2 = state.kf_Tcw[nb_ids]                               # [J,4,4]
+    Twc2 = jax.vmap(se3.inverse)(Tcw2)
+    c2 = Twc2[:, :3, 3]
+    uv2 = state.kf_uv[nb_ids]                                 # [J,N,2]
+    oct2 = state.kf_octave[nb_ids]
+    desc2 = state.kf_desc[nb_ids]
+    depth2 = state.kf_depth[nb_ids]
+    free2 = state.kf_feat_valid[nb_ids] & (state.kf_mp_idx[nb_ids] < 0)
+    base_ok = jnp.linalg.norm(c2 - c1[None], axis=1) > baseline  # LocalMapping.cc:190-199
+    ok_nb = (nb_w > 0) & (nb_ids != kf_id) & base_ok          # [J]
+
+    # ---- dense epipolar-gated matching, all neighbours at once -----------
+    # (replaces BoW-accelerated searchForTriangulation, ORBMatcher.cc:736-778)
+    dist = jax.vmap(lambda d2: hamming_matrix(desc1, d2))(desc2)   # [J,N1,N2]
+    F21 = jax.vmap(lambda T2: _fundamental_from_poses(cam, Tcw1, T2))(Tcw2)
+    x1h = jnp.concatenate([uv1, jnp.ones((N, 1))], axis=1)         # [N1,3]
+    lines = jnp.einsum("na,jba->jnb", x1h, F21)                    # [J,N1,3]
+    x2h = jnp.concatenate([uv2, jnp.ones((J, N, 1))], axis=2)      # [J,N2,3]
+    num = jnp.abs(jnp.einsum("jna,jma->jnm", lines, x2h))          # [J,N1,N2]
+    den = jnp.sqrt(lines[..., 0] ** 2 + lines[..., 1] ** 2)[..., None]
+    d_epi2 = (num / jnp.maximum(den, 1e-9)) ** 2
+    sigma2_2 = jnp.power(jnp.float32(scale_factor * scale_factor), oct2.astype(jnp.float32))
+    epi_ok = d_epi2 < 3.84 * sigma2_2[:, None, :]
+
+    cand = free1[None, :, None] & free2[:, None, :] & epi_ok & ok_nb[:, None, None]
+    masked = jnp.where(cand, dist, BIG)                            # [J,N1,N2]
+    best = jnp.min(masked, axis=2)                                 # [J,N1]
+    bj = jnp.argmin(masked, axis=2).astype(jnp.int32)              # [J,N1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 2)
+    second = jnp.min(jnp.where(cols == bj[:, :, None], BIG, masked), axis=2)
+    m_ok = (best <= max_dist) & (
+        best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    )
+    # per-column uniqueness within each neighbour: without it several new-KF
+    # features could claim the same neighbour feature, allocating duplicate
+    # map points whose neighbour-side slot writes collide (last-write-wins)
+    # and leave dangling observation backlinks
+    best_i = jnp.argmin(masked, axis=1).astype(jnp.int32)          # [J,N2]
+    col_best = jnp.take_along_axis(best_i, bj, axis=1)             # [J,N1]
+    m_ok = m_ok & (col_best == jnp.arange(N, dtype=jnp.int32)[None, :])
+
+    # ---- per-feature neighbour selection (first in covisibility order) ---
+    any_ok = jnp.any(m_ok, axis=0)                                 # [N1]
+    jstar = jnp.argmax(m_ok, axis=0)                               # first True
+    rows = jnp.arange(N, dtype=jnp.int32)
+    bj_sel = bj[jstar, rows]                                       # [N1]
+    kn_sel = nb_ids[jstar]                                         # [N1]
+    Tcw2_sel = Tcw2[jstar]                                         # [N1,4,4]
+    Twc2_sel = Twc2[jstar]
+    c2_sel = c2[jstar]
+    uv2m = uv2[jstar, bj_sel]
+    oct2m = oct2[jstar, bj_sel]
+    depth2m = depth2[jstar, bj_sel]
+    m_ok1 = any_ok
+
+    # ---- parallax choice & triangulation ---------------------------------
+    n1 = jnp.stack([(uv1[:, 0] - cam.cx) / cam.fx, (uv1[:, 1] - cam.cy) / cam.fy], axis=1)
+    n2 = jnp.stack([(uv2m[:, 0] - cam.cx) / cam.fx, (uv2m[:, 1] - cam.cy) / cam.fy], axis=1)
+    T1b = jnp.broadcast_to(Tcw1, (N, 4, 4))
+    cos_par = tri.parallax_cos(T1b, n1, Tcw2_sel, n2)
+    # stereo-parallax references (LocalMapping.cc:231-259): prefer
+    # triangulation when the two-view parallax beats the stereo one
+    cos_stereo1 = jnp.where(depth1 > 0, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, jnp.maximum(depth1, 1e-6))), 2.0)
+    cos_stereo2 = jnp.where(depth2m > 0, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, jnp.maximum(depth2m, 1e-6))), 2.0)
+    cos_stereo = jnp.minimum(cos_stereo1, cos_stereo2)
+    use_tri = (cos_par < cos_stereo) & (cos_par > 0) & (cos_par < 0.9998)
+
+    pw_tri, tri_ok = tri.triangulate_pairs(cam, T1b, uv1, Tcw2_sel, uv2m, rank_gate)
+    # stereo fallback: unproject from whichever KF has depth
+    from ..geometry.camera import unproject as cam_unproject
+
+    pw_s1 = se3.apply(Twc1, cam_unproject(cam, uv1, jnp.maximum(depth1, 1e-6)))
+    pc2_s = cam_unproject(cam, uv2m, jnp.maximum(depth2m, 1e-6))
+    pw_s2 = jnp.einsum("nij,nj->ni", Twc2_sel[:, :3, :3], pc2_s) + Twc2_sel[:, :3, 3]
+    use_s1 = (~use_tri) & (cos_stereo1 <= cos_stereo2) & (depth1 > 0)
+    use_s2 = (~use_tri) & (~use_s1) & (depth2m > 0)
+    pw = jnp.where(use_tri[:, None], pw_tri, jnp.where(use_s1[:, None], pw_s1, pw_s2))
+    has_pw = jnp.where(use_tri, tri_ok, use_s1 | use_s2)
+
+    # ---- quality gates (checkMapPoint, MapPoint.cc:384-420) --------------
+    pc1 = se3.apply(Tcw1, pw)
+    pc2 = jnp.einsum("nij,nj->ni", Tcw2_sel[:, :3, :3], pw) + Tcw2_sel[:, :3, 3]
+    z_ok = (pc1[:, 2] > 0) & (pc2[:, 2] > 0)
+    uvp1, _ = project(cam, pc1)
+    uvp2, _ = project(cam, pc2)
+    sigma2_1 = jnp.power(jnp.float32(scale_factor * scale_factor), oct1.astype(jnp.float32))
+    e1 = jnp.sum((uvp1 - uv1) ** 2, axis=1) / sigma2_1
+    e2 = jnp.sum((uvp2 - uv2m) ** 2, axis=1) / jnp.power(
+        jnp.float32(scale_factor * scale_factor), oct2m.astype(jnp.float32)
+    )
+    reproj_ok = (e1 < chi2_mono) & (e2 < chi2_mono)
+    d1 = jnp.linalg.norm(pw - c1, axis=1)
+    d2 = jnp.linalg.norm(pw - c2_sel, axis=1)
+    ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+    ratio_octave = jnp.power(jnp.float32(scale_factor), (oct2m - oct1).astype(jnp.float32))
+    ratio_factor = 1.5 * scale_factor
+    scale_ok = (ratio_dist < ratio_octave * ratio_factor) & (ratio_dist * ratio_factor > ratio_octave)
+
+    create = m_ok1 & has_pw & z_ok & reproj_ok & scale_ok & (d1 > 1e-6) & (d2 > 1e-6)
+
+    # ---- single allocation pass ------------------------------------------
     st = state
-    next_mp0 = state.next_mp  # new points are bump-allocated from here
-    for j in range(n_neighbors):
-        kn = nb_ids[j]
-        ok_nb = (nb_w[j] > 0) & (kn != kf_id)
-        Tcw2 = st.kf_Tcw[kn]
-        Twc2 = se3.inverse(Tcw2)
-        c2 = se3.t_of(Twc2)
-        base_ok = jnp.linalg.norm(c2 - c1) > baseline  # LocalMapping.cc:190-199
+    next_mp0 = state.next_mp
+    n_new = jnp.cumsum(create.astype(jnp.int32)) - 1
+    new_ids = jnp.where(create, next_mp0 + n_new, -1)
+    create = create & (new_ids < st.mp_capacity)
+    new_ids = jnp.where(create, new_ids, -1)
+    tgt = jnp.where(create, new_ids, st.mp_capacity)
+    feat_ids = jnp.arange(N, dtype=jnp.int32)
+    # fresh points carry exactly two observations — (kf_id, feat) and
+    # (neighbour, matched feat) — written directly into list slots 0/1
+    obs_kf_row = jnp.stack([
+        jnp.where(create, kf_id, -1), jnp.where(create, kn_sel, -1)
+    ], axis=1)                                                     # [N,2]
+    obs_feat_row = jnp.stack([
+        jnp.where(create, feat_ids, -1), jnp.where(create, bj_sel, -1)
+    ], axis=1)
+    O = st.mp_obs_kf.shape[1]
+    pad = jnp.full((N, O - 2), -1, jnp.int32)
+    st = st._replace(
+        mp_pos=st.mp_pos.at[tgt].set(pw, mode="drop"),
+        mp_desc=st.mp_desc.at[tgt].set(desc1, mode="drop"),
+        mp_valid=st.mp_valid.at[tgt].set(True, mode="drop"),
+        mp_ref_kf=st.mp_ref_kf.at[tgt].set(kf_id, mode="drop"),
+        mp_first_kf=st.mp_first_kf.at[tgt].set(kf_id, mode="drop"),
+        mp_n_obs=st.mp_n_obs.at[tgt].set(2, mode="drop"),
+        mp_visible=st.mp_visible.at[tgt].set(1, mode="drop"),
+        mp_found=st.mp_found.at[tgt].set(1, mode="drop"),
+        mp_obs_kf=st.mp_obs_kf.at[tgt].set(
+            jnp.concatenate([obs_kf_row, pad], axis=1), mode="drop"),
+        mp_obs_feat=st.mp_obs_feat.at[tgt].set(
+            jnp.concatenate([obs_feat_row, pad], axis=1), mode="drop"),
+        next_mp=jnp.minimum(next_mp0 + jnp.sum(create.astype(jnp.int32)), st.mp_capacity),
+    )
+    st = st._replace(
+        kf_mp_idx=st.kf_mp_idx.at[kf_id].set(jnp.where(create, new_ids, st.kf_mp_idx[kf_id]))
+    )
+    # neighbour-side slots: scatter (feature bj_sel of kn_sel) ← new mp
+    kn_tgt = jnp.where(create, kn_sel, K)
+    st = st._replace(
+        kf_mp_idx=st.kf_mp_idx.at[kn_tgt, jnp.clip(bj_sel, 0, N - 1)].set(
+            jnp.where(create, new_ids, -1), mode="drop")
+    )
 
-        uv2 = st.kf_uv[kn]
-        oct2 = st.kf_octave[kn]
-        desc2 = st.kf_desc[kn]
-        depth2 = st.kf_depth[kn]
-        free2 = st.kf_feat_valid[kn] & (st.kf_mp_idx[kn] < 0)
-
-        # --- dense epipolar-gated matching (replaces BoW-accelerated
-        # searchForTriangulation, ORBMatcher.cc:736-778) ------------------
-        dist = hamming_matrix(desc1, desc2)
-        F21 = _fundamental_from_poses(cam, Tcw1, Tcw2)
-        x1h = jnp.concatenate([uv1, jnp.ones((N, 1))], axis=1)
-        lines = x1h @ F21.T  # [N, 3]: epipolar line of each feat1 in image 2
-        x2h = jnp.concatenate([uv2, jnp.ones((N, 1))], axis=1)
-        num = jnp.abs(lines @ x2h.T)  # [N1, N2]
-        den = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[:, None]
-        d_epi2 = (num / jnp.maximum(den, 1e-9)) ** 2
-        sigma2_2 = jnp.power(jnp.float32(scale_factor * scale_factor), oct2.astype(jnp.float32))
-        epi_ok = d_epi2 < 3.84 * sigma2_2[None, :]
-
-        cand = free1[:, None] & free2[None, :] & epi_ok
-        masked = jnp.where(cand, dist, 1 << 20)
-        best = jnp.min(masked, axis=1)
-        bj = jnp.argmin(masked, axis=1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1)
-        second = jnp.min(jnp.where(cols == bj[:, None], 1 << 20, masked), axis=1)
-        m_ok = (best <= max_dist) & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
-        # per-column uniqueness: without it several new-KF features can claim
-        # the same neighbour feature in one round, allocating duplicate map
-        # points whose neighbour-side slot writes collide (last-write-wins)
-        # and leave dangling observation backlinks
-        best_i = jnp.argmin(masked, axis=0)
-        m_ok = m_ok & (best_i[bj] == jnp.arange(N))
-        m_ok = m_ok & ok_nb & base_ok
-
-        # --- parallax choice & triangulation ------------------------------
-        uv2m = uv2[bj]
-        oct2m = oct2[bj]
-        depth2m = depth2[bj]
-        n1 = jnp.stack([(uv1[:, 0] - cam.cx) / cam.fx, (uv1[:, 1] - cam.cy) / cam.fy], axis=1)
-        n2 = jnp.stack([(uv2m[:, 0] - cam.cx) / cam.fx, (uv2m[:, 1] - cam.cy) / cam.fy], axis=1)
-        T1b = jnp.broadcast_to(Tcw1, (N, 4, 4))
-        T2b = jnp.broadcast_to(Tcw2, (N, 4, 4))
-        cos_par = tri.parallax_cos(T1b, n1, T2b, n2)
-        # stereo-parallax references (LocalMapping.cc:231-259): prefer
-        # triangulation when the two-view parallax beats the stereo one
-        cos_stereo1 = jnp.where(depth1 > 0, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, jnp.maximum(depth1, 1e-6))), 2.0)
-        cos_stereo2 = jnp.where(depth2m > 0, jnp.cos(2.0 * jnp.arctan2(baseline / 2.0, jnp.maximum(depth2m, 1e-6))), 2.0)
-        cos_stereo = jnp.minimum(cos_stereo1, cos_stereo2)
-        use_tri = (cos_par < cos_stereo) & (cos_par > 0) & (cos_par < 0.9998)
-
-        pw_tri, tri_ok = tri.triangulate_pairs(cam, T1b, uv1, T2b, uv2m, rank_gate)
-        # stereo fallback: unproject from whichever KF has depth
-        from ..geometry.camera import unproject as cam_unproject
-
-        pw_s1 = se3.apply(Twc1, cam_unproject(cam, uv1, jnp.maximum(depth1, 1e-6)))
-        pw_s2 = se3.apply(Twc2, cam_unproject(cam, uv2m, jnp.maximum(depth2m, 1e-6)))
-        use_s1 = (~use_tri) & (cos_stereo1 <= cos_stereo2) & (depth1 > 0)
-        use_s2 = (~use_tri) & (~use_s1) & (depth2m > 0)
-        pw = jnp.where(use_tri[:, None], pw_tri, jnp.where(use_s1[:, None], pw_s1, pw_s2))
-        has_pw = jnp.where(use_tri, tri_ok, use_s1 | use_s2)
-
-        # --- quality gates (checkMapPoint, MapPoint.cc:384-420) -----------
-        pc1 = se3.apply(Tcw1, pw)
-        pc2 = se3.apply(Tcw2, pw)
-        z_ok = (pc1[:, 2] > 0) & (pc2[:, 2] > 0)
-        uvp1, _ = project(cam, pc1)
-        uvp2, _ = project(cam, pc2)
-        sigma2_1 = jnp.power(jnp.float32(scale_factor * scale_factor), oct1.astype(jnp.float32))
-        e1 = jnp.sum((uvp1 - uv1) ** 2, axis=1) / sigma2_1
-        e2 = jnp.sum((uvp2 - uv2m) ** 2, axis=1) / jnp.power(jnp.float32(scale_factor * scale_factor), oct2m.astype(jnp.float32))
-        reproj_ok = (e1 < chi2_mono) & (e2 < chi2_mono)
-        d1 = jnp.linalg.norm(pw - c1, axis=1)
-        d2 = jnp.linalg.norm(pw - c2, axis=1)
-        ratio_dist = d2 / jnp.maximum(d1, 1e-9)
-        ratio_octave = jnp.power(jnp.float32(scale_factor), (oct2m - oct1).astype(jnp.float32))
-        ratio_factor = 1.5 * scale_factor
-        scale_ok = (ratio_dist < ratio_octave * ratio_factor) & (ratio_dist * ratio_factor > ratio_octave)
-
-        create = m_ok & has_pw & z_ok & reproj_ok & scale_ok & (d1 > 1e-6) & (d2 > 1e-6)
-
-        # --- allocate ------------------------------------------------------
-        n_new = jnp.cumsum(create.astype(jnp.int32)) - 1
-        new_ids = jnp.where(create, st.next_mp + n_new, -1)
-        create = create & (new_ids < st.mp_capacity)
-        new_ids = jnp.where(create, new_ids, -1)
-        tgt = jnp.where(create, new_ids, st.mp_capacity)
-        feat_ids = jnp.arange(N, dtype=jnp.int32)
-        st = st._replace(
-            mp_pos=st.mp_pos.at[tgt].set(pw, mode="drop"),
-            mp_desc=st.mp_desc.at[tgt].set(desc1, mode="drop"),
-            mp_valid=st.mp_valid.at[tgt].set(True, mode="drop"),
-            mp_ref_kf=st.mp_ref_kf.at[tgt].set(kf_id, mode="drop"),
-            mp_first_kf=st.mp_first_kf.at[tgt].set(kf_id, mode="drop"),
-            mp_n_obs=st.mp_n_obs.at[tgt].set(0, mode="drop"),
-            mp_visible=st.mp_visible.at[tgt].set(1, mode="drop"),
-            mp_found=st.mp_found.at[tgt].set(1, mode="drop"),
-            mp_obs_kf=st.mp_obs_kf.at[tgt].set(-1, mode="drop"),
-            mp_obs_feat=st.mp_obs_feat.at[tgt].set(-1, mode="drop"),
-            next_mp=jnp.minimum(st.next_mp + jnp.sum(create.astype(jnp.int32)), st.mp_capacity),
-        )
-        st = st._replace(
-            kf_mp_idx=st.kf_mp_idx.at[kf_id].set(jnp.where(create, new_ids, st.kf_mp_idx[kf_id]))
-        )
-        # neighbour-side slots: scatter (feature bj of kn) ← new mp
-        tgt_feat = jnp.where(create, bj, N)
-        st = st._replace(
-            kf_mp_idx=st.kf_mp_idx.at[kn, tgt_feat].set(jnp.where(create, new_ids, -1), mode="drop")
-        )
-        st = _append_observations(st, kf_id, new_ids, feat_ids, create)
-        st = _append_observations(st, kn, new_ids, bj, create)
-        # free1 must exclude features just consumed
-        free1 = free1 & ~create
-
-    # descriptor distillation + normal/depth update ONCE over every point the
-    # loop allocated (bump allocation → contiguous ids; each KF1 feature
-    # creates at most one point, so ≤ N in total).  These are the
-    # gather-heaviest stages — per-neighbour they were ~10× the cost.
+    # descriptor distillation + normal/depth update ONCE over every point
+    # allocated above (bump allocation → contiguous ids, ≤ N in total)
     all_new = next_mp0 + jnp.arange(N, dtype=jnp.int32)
     all_new = jnp.where(all_new < st.next_mp, all_new, -1)
     st = _distill_descriptors(st, all_new)
@@ -258,13 +285,18 @@ def cull_keyframes(
     n_candidates: int = 10,
     redundancy: float = 0.9,
     min_obs: int = 3,
+    n_reparent_iters: int = 6,
 ) -> MapState:
     """Remove redundant keyframes (reference cullingKeyFrames,
     LocalMapping.cc:421-614): a covisible neighbour of the new KF is culled
     when ≥90% of its map points are observed by ≥3 other keyframes at the
-    same or a finer pyramid octave.  Children are reparented to the culled
-    KF's parent (simplification of the reference's max-weight reparent
-    search, LocalMapping.cc:616-671).
+    same or a finer pyramid octave.  Children are reparented with the
+    reference's greedy max-weight search (findParent, LocalMapping.cc:
+    512-560): candidates start at the culled KF's parent, the best
+    (child, candidate) covisibility pair wins each round and the reparented
+    child joins the candidate set; leftover children (no candidate
+    covisibility, or past the fixed ``n_reparent_iters`` budget) fall back
+    to the culled KF's parent — the reference's own no-weight fallback.
 
     The whole check is batched per candidate over its [N] feature slots and
     their [O] observation fan-out.
@@ -326,10 +358,24 @@ def cull_keyframes(
         )
         covis = st.covis.at[kj, :].set(jnp.where(cull, 0, st.covis[kj, :]))
         covis = covis.at[:, kj].set(jnp.where(cull, 0, covis[:, kj]))
-        # reparent children to the culled KF's parent
+        # greedy max-weight reparenting (reference findParent)
         parent = st.kf_parent[kj]
-        is_child = st.kf_parent == kj
-        kf_parent = jnp.where(is_child & cull, parent, st.kf_parent)
+        children = (st.kf_parent == kj) & st.kf_valid & cull        # [K]
+        cand_mask = jnp.zeros((K,), bool).at[jnp.clip(parent, 0, K - 1)].set(parent >= 0)
+        kf_parent = st.kf_parent
+        for _ in range(n_reparent_iters):
+            W = jnp.where(children[:, None] & cand_mask[None, :], covis, 0)
+            flat = jnp.argmax(W)
+            wbest = jnp.max(W)
+            ci = (flat // K).astype(jnp.int32)
+            pi = (flat % K).astype(jnp.int32)
+            do = cull & (wbest > 0)
+            kf_parent = kf_parent.at[jnp.where(do, ci, K)].set(pi, mode="drop")
+            children = jnp.where(do, children.at[ci].set(False), children)
+            cand_mask = jnp.where(do, cand_mask.at[ci].set(True), cand_mask)
+        # leftovers (and everything when the cull didn't fire — children is
+        # all-False then) → the culled KF's parent
+        kf_parent = jnp.where(children, parent, kf_parent)
         kf_parent = kf_parent.at[kj].set(jnp.where(cull, -1, kf_parent[kj]))
         st = st._replace(
             kf_valid=kf_valid, mp_obs_kf=mp_obs_kf, mp_n_obs=mp_n_obs,
@@ -372,6 +418,68 @@ def fuse_into_keyframe(
     )
 
 
+def fuse_keyframe_into_neighbors(
+    state: MapState,
+    kf_id,
+    cam: CameraParams,
+    *,
+    n_neighbors: int = 5,
+    width: int,
+    height: int,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    th: float = 3.0,
+    max_dist: int = 50,
+    ratio: float = 0.6,
+    allow_merge: bool = True,
+) -> MapState:
+    """Backward fuse — the second direction of the reference's two-way fuse
+    (fuseMapPoints, LocalMapping.cc:352-405): project the NEW keyframe's map
+    points into its top covisible neighbours, attaching to unmatched
+    neighbour features or merging duplicates.  This is what matures fresh
+    stereo-seed points past one observation immediately; without it the
+    needNewKeyFrame ratio (nRefMatches counts ≥2-observation points,
+    Tracking.cc:735-746) reads a near-empty reference set and the cadence
+    logic starves."""
+    from .local_map import LocalMap
+
+    M = state.mp_capacity
+    K = state.kf_capacity
+    w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
+    nb_w, nb_ids = topk_bounded(w, n_neighbors)
+
+    mp = state.kf_mp_idx[kf_id]
+    mpc = jnp.clip(mp, 0, M - 1)
+    base_valid = state.kf_feat_valid[kf_id] & (mp >= 0)
+
+    st = state
+    for j in range(n_neighbors):
+        kn = nb_ids[j]
+        ok = (nb_w[j] > 0) & (kn != kf_id) & st.kf_valid[kn]
+        # re-gather per round: earlier rounds may have merged candidates away
+        cand = LocalMap(
+            mp_ids=jnp.where(base_valid, mp, -1),
+            pos=st.mp_pos[mpc],
+            normal=st.mp_normal[mpc],
+            desc=st.mp_desc[mpc],
+            min_dist=st.mp_min_dist[mpc],
+            max_dist=st.mp_max_dist[mpc],
+            valid=base_valid & st.mp_valid[mpc] & ok,
+            kf_ids=nb_ids,  # unused by the fuse
+            kf_mask=jnp.zeros((K,), bool),
+        )
+        st = fuse_candidates_into_keyframe(
+            st, kn, cam, cand,
+            width=width, height=height, scale_factor=scale_factor,
+            n_levels=n_levels, th=th, max_dist=max_dist, ratio=ratio,
+            allow_merge=allow_merge,
+        )
+    # the new KF's own covisibility row after both fuse directions
+    row = _covis_row_for_kf(st, kf_id)
+    covis = st.covis.at[kf_id, :].set(row).at[:, kf_id].set(row)
+    return st._replace(covis=covis)
+
+
 def fuse_candidates_into_keyframe(
     state: MapState,
     kf_id,
@@ -386,6 +494,7 @@ def fuse_candidates_into_keyframe(
     max_dist: int = 50,
     ratio: float = 0.6,
     loop_priority: bool = False,
+    allow_merge: bool = True,
 ) -> MapState:
     """Fuse an explicit candidate set (a ``LocalMap`` snapshot) into ``kf_id``.
 
@@ -439,7 +548,7 @@ def fuse_candidates_into_keyframe(
 
     # case B: slot occupied by another point → merge; the loop variant keeps
     # the projected loop-group point, local mapping keeps the better-observed
-    merge = found & (mp_old >= 0) & (mp_old != mp_new)
+    merge = found & (mp_old >= 0) & (mp_old != mp_new) & allow_merge
     if loop_priority:
         win_new = jnp.ones_like(merge)
     else:

@@ -604,7 +604,8 @@ class LoopCloser:
             t=jnp.zeros(3, jnp.float32),
             s=jnp.asarray(1.0, jnp.float32),
         )
-        self.correct(state, cam, 0, 0, ident, matched_mp2, group, mesh=mesh)
+        self.correct(state, cam, 0, 0, ident, matched_mp2, group,
+                     run_gba=False, mesh=mesh)
         self.last_loop_kf, self.consistent_groups = saved
 
     # ------------------------------------------------------------------

@@ -6,16 +6,35 @@ reverse observation index (mp_obs_kf / mp_obs_feat) IS the per-point edge
 layout the PCG-Schur engine consumes, so extraction is pure gathering.  The
 reference's async-safe scratch poses (mTcwGBA, committed after stopping the
 mapper) are unnecessary: the update is one functional state transition.
+
+Two execution modes:
+
+- ``global_ba``: the synchronous whole-solve (CLI / tests / public API).
+- ``start_global_ba`` / ``step_global_ba`` / ``commit_global_ba``: the
+  amortized background mode the SLAM loop uses after a loop closure — the
+  solve runs as per-idle-frame chunks on a snapshot problem, then commits
+  with the reference's spanning-tree propagation for keyframes/map points
+  created during the solve (LoopClosing.cc:109-166).
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
+from ..geometry import se3
 from ..geometry.camera import CameraParams
 from ..mapstate.map_state import MapState
-from .pcg_ba import PointBAProblem, solve_global_ba, solve_global_ba_sharded
+from .pcg_ba import (
+    GlobalBAProblem,
+    PointBAProblem,
+    global_ba_phase,
+    point_to_global,
+    solve_global_ba,
+    solve_global_ba_sharded,
+)
 
 
 def extract_global_problem(state: MapState, scale_factor: float = 1.2) -> PointBAProblem:
@@ -77,3 +96,207 @@ def global_ba(
     kf_Tcw = jnp.where(state.kf_valid[:, None, None], Tcw, state.kf_Tcw)
     mp_pos = jnp.where(prob.pt_valid[:, None], pts, state.mp_pos)
     return state._replace(kf_Tcw=kf_Tcw, mp_pos=mp_pos)
+
+
+# --------------------------------------------------------------------------
+# amortized background GBA (chunked solve + scratch-commit)
+# --------------------------------------------------------------------------
+
+class PendingGBA(NamedTuple):
+    """A global BA in flight: the snapshot problem, the evolving iterate, and
+    the snapshot watermarks needed to commit onto a map that kept growing
+    (the reference's mTcwGBA/mPGBA scratch protocol, Optimizer.cc:1030-1042 +
+    the spanning-tree propagation in LoopClosing::runGlobalBA :109-166)."""
+
+    prob: GlobalBAProblem
+    Tcw: jnp.ndarray          # f32[K, 4, 4] evolving camera iterate
+    ptsT: jnp.ndarray         # f32[3, M] evolving point iterate
+    pt_in_ba: jnp.ndarray     # bool[M] points the solve optimizes
+    snap_next_kf: int         # host ints: allocation watermarks at snapshot
+    snap_next_mp: int
+    chunks_done: int
+
+
+def start_global_ba(state: MapState, scale_factor: float = 1.2) -> PendingGBA:
+    """Snapshot the map into a chunked-GBA state (no solving yet)."""
+    pprob = extract_global_problem(state, scale_factor)
+    prob = point_to_global(pprob)
+    # the snapshot must OWN its buffers: extract/convert pass some live map
+    # arrays through unchanged (e.g. cam_Tcw = state.kf_Tcw), and the live
+    # map is donated by later keyframe programs — a chunk run frames later
+    # would then read deleted buffers
+    prob = jax.tree.map(jnp.copy, prob)
+    return PendingGBA(
+        prob=prob,
+        Tcw=prob.cam_Tcw,
+        ptsT=prob.pt_pos.T,
+        pt_in_ba=pprob.pt_valid,
+        snap_next_kf=int(state.next_kf),
+        snap_next_mp=int(state.next_mp),
+        chunks_done=0,
+    )
+
+
+def step_global_ba(
+    pending: PendingGBA,
+    cam: CameraParams,
+    *,
+    n_iters: int = 1,
+    pcg_iters: int = 40,
+    lam: float = 1e-3,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+    robust_after: int = 1,
+    mesh=None,
+    axis: str = "ba",
+) -> PendingGBA:
+    """Advance the solve by one chunk (``n_iters`` damped-GN steps).  Chunks
+    before ``robust_after`` run ungated; later chunks gate observations by
+    the χ² of the entry iterate — the phase structure of ``solve_global_ba``
+    spread over chunks.  Dispatches asynchronously (no host sync)."""
+    robust = pending.chunks_done >= robust_after
+    if mesh is not None:
+        from functools import partial
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from .pcg_ba import _pad_global
+
+        n_dev = mesh.shape[axis]
+        K0 = int(pending.prob.cam_Tcw.shape[0])
+        M0 = int(pending.ptsT.shape[1])
+        prob = _pad_global(pending.prob, n_dev)
+        Mp = int(prob.pt_pos.shape[0])
+        ptsT = jnp.pad(pending.ptsT, ((0, 0), (0, Mp - M0)))
+        in_specs = GlobalBAProblem(
+            cam_Tcw=P(), cam_free=P(),
+            pt_pos=P(axis, None), pt_valid=P(axis),
+            pm_cam=P(None, axis), pm_uv=P(None, None, axis),
+            pm_right_u=P(None, axis), pm_inv_sigma2=P(None, axis),
+            pm_valid=P(None, axis),
+            cm_pt=P(None, axis), cm_uv=P(None, None, axis),
+            cm_right_u=P(None, axis), cm_inv_sigma2=P(None, axis),
+            cm_valid=P(None, axis),
+        )
+
+        def run(p, T, pts):
+            return global_ba_phase(
+                cam, p, T, pts, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+                n_iters=n_iters, pcg_iters=pcg_iters, lam=lam,
+                robust_gate=robust, axis=axis,
+            )
+
+        fn = shard_map(
+            run, mesh=mesh,
+            in_specs=(in_specs, P(), P(None, axis)),
+            out_specs=(P(), P(None, axis)),
+            check_vma=False,
+        )
+        Tcw, ptsT = jax.jit(fn)(prob, pending.Tcw, ptsT)
+        return pending._replace(
+            Tcw=Tcw, ptsT=ptsT[:, :M0], chunks_done=pending.chunks_done + 1
+        )
+    Tcw, ptsT = _step_jit(
+        cam, pending.prob, pending.Tcw, pending.ptsT,
+        n_iters=n_iters, pcg_iters=pcg_iters, lam=lam,
+        chi2_mono=chi2_mono, chi2_stereo=chi2_stereo, robust_gate=robust,
+    )
+    return pending._replace(Tcw=Tcw, ptsT=ptsT, chunks_done=pending.chunks_done + 1)
+
+
+def _step_impl(cam, prob, Tcw, ptsT, *, n_iters, pcg_iters, lam,
+               chi2_mono, chi2_stereo, robust_gate):
+    return global_ba_phase(
+        cam, prob, Tcw, ptsT, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+        n_iters=n_iters, pcg_iters=pcg_iters, lam=lam,
+        robust_gate=robust_gate, axis=None,
+    )
+
+
+_step_jit = jax.jit(
+    _step_impl,
+    static_argnames=("n_iters", "pcg_iters", "lam", "chi2_mono",
+                     "chi2_stereo", "robust_gate"),
+)
+
+
+def commit_global_ba(
+    state: MapState,
+    pending: PendingGBA,
+    *,
+    propagate_depth: int = 4,
+) -> MapState:
+    """Commit a finished chunked GBA onto the LIVE map (which may hold
+    keyframes/map points created after the snapshot) — the reference's
+    post-GBA reconciliation (LoopClosing.cc:109-166):
+
+    - snapshot keyframes take their optimized poses verbatim;
+    - keyframes created during the solve are dragged along their
+      spanning-tree parent's correction ``Tcw_child · Twc_parent_old ·
+      Tcw_parent_new`` (bounded-depth propagation — post-snapshot chains
+      longer than ``propagate_depth`` keep their current pose);
+    - map points the solve optimized take their positions verbatim;
+    - all other map points are corrected through their reference keyframe's
+      delta ``p' = Twc_new · (Tcw_old · p)``.
+    """
+    # the live map may have auto-grown past the snapshot capacities — pad the
+    # solve's iterate up to the live shapes (padded slots are never selected:
+    # their ids are ≥ the snapshot watermarks)
+    K, M = state.kf_capacity, state.mp_capacity
+    Tcw_gba, pts_gba, in_ba = pending.Tcw, pending.ptsT.T, pending.pt_in_ba
+    if Tcw_gba.shape[0] < K:
+        pad = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                               (K - Tcw_gba.shape[0], 4, 4))
+        Tcw_gba = jnp.concatenate([Tcw_gba, pad])
+    if pts_gba.shape[0] < M:
+        pts_gba = jnp.pad(pts_gba, ((0, M - pts_gba.shape[0]), (0, 0)))
+        in_ba = jnp.pad(in_ba, (0, M - in_ba.shape[0]))
+    return _commit_jit(
+        state, Tcw_gba, pts_gba, in_ba,
+        jnp.asarray(pending.snap_next_kf, jnp.int32),
+        jnp.asarray(pending.snap_next_mp, jnp.int32),
+        propagate_depth=propagate_depth,
+    )
+
+
+def _commit_impl(state: MapState, Tcw_gba, pts_gba, pt_in_ba,
+                 snap_next_kf, snap_next_mp, *, propagate_depth):
+    K = state.kf_capacity
+    M = state.mp_capacity
+    kf_ids = jnp.arange(K, dtype=jnp.int32)
+    old_kf = (kf_ids < snap_next_kf) & state.kf_valid
+
+    Tcw_cur = state.kf_Tcw
+    Tcw_out = jnp.where(old_kf[:, None, None], Tcw_gba, Tcw_cur)
+    corrected = old_kf
+    # spanning-tree propagation for post-snapshot keyframes
+    for _ in range(propagate_depth):
+        parent = jnp.clip(state.kf_parent, 0, K - 1)
+        can = (
+            ~corrected & state.kf_valid & (state.kf_parent >= 0)
+            & corrected[parent]
+        )
+        # child_new = child_cur · inv(parent_cur) · parent_new
+        delta = jnp.einsum(
+            "kij,kjl->kil", jax.vmap(se3.inverse)(Tcw_cur[parent]), Tcw_out[parent]
+        )
+        prop = jnp.einsum("kij,kjl->kil", Tcw_cur, delta)
+        Tcw_out = jnp.where(can[:, None, None], prop, Tcw_out)
+        corrected = corrected | can
+
+    # map points: optimized ones take the solve's positions
+    mp_ids = jnp.arange(M, dtype=jnp.int32)
+    in_ba = (mp_ids < snap_next_mp) & state.mp_valid & pt_in_ba
+    mp_pos = jnp.where(in_ba[:, None], pts_gba, state.mp_pos)
+    # the rest ride their reference keyframe's correction
+    ref = jnp.clip(state.mp_ref_kf, 0, K - 1)
+    ref_ok = state.mp_valid & ~in_ba & (state.mp_ref_kf >= 0) & corrected[ref]
+    p_cam = jnp.einsum("mij,mj->mi", Tcw_cur[ref][:, :3, :3], state.mp_pos) + Tcw_cur[ref][:, :3, 3]
+    Twc_new = jax.vmap(se3.inverse)(Tcw_out[ref])
+    p_new = jnp.einsum("mij,mj->mi", Twc_new[:, :3, :3], p_cam) + Twc_new[:, :3, 3]
+    mp_pos = jnp.where(ref_ok[:, None], p_new, mp_pos)
+    return state._replace(kf_Tcw=Tcw_out, mp_pos=mp_pos)
+
+
+_commit_jit = jax.jit(_commit_impl, static_argnames=("propagate_depth",))

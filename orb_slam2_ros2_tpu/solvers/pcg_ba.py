@@ -276,6 +276,53 @@ def _solve_global(cam, prob: GlobalBAProblem, *, chi2_mono, chi2_stereo,
     return Tcw, ptsT.T, pm_gate
 
 
+def global_ba_phase(
+    cam: CameraParams,
+    prob: GlobalBAProblem,
+    Tcw: jnp.ndarray,
+    ptsT: jnp.ndarray,
+    *,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+    n_iters: int = 1,
+    pcg_iters: int = 40,
+    lam: float = 1e-3,
+    robust_gate: bool = True,
+    axis: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One resumable phase of the global BA: ``n_iters`` damped-GN steps from
+    the given (Tcw, ptsT) iterate.  This is the chunk primitive behind the
+    amortized background GBA (the reference runs its GBA on a transient
+    thread and commits through mTcwGBA scratch, LoopClosing.cc:92-169,
+    Optimizer.cc:1030-1042; here the solve is cut into per-idle-frame chunks
+    instead).  ``robust_gate=False`` reproduces the ungated first phase of
+    ``solve_global_ba``; subsequent chunks gate observations by the χ² of
+    the entry iterate."""
+    pm_th = jnp.where(prob.pm_right_u > 0, chi2_stereo, chi2_mono)
+    cm_th = jnp.where(prob.cm_right_u > 0, chi2_stereo, chi2_mono)
+    if robust_gate:
+        pm_gate = prob.pm_valid & (_pm_terms(cam, prob, Tcw, ptsT).chi2 < pm_th)
+
+        def ag(x):
+            if axis is None:
+                return x
+            return jax.lax.all_gather(x, axis, axis=x.ndim - 1, tiled=True)
+
+        cm_gate = prob.cm_valid & (
+            _cm_terms(cam, prob, Tcw, ag(ptsT), axis).chi2 < cm_th
+        )
+    else:
+        pm_gate, cm_gate = prob.pm_valid, prob.cm_valid
+
+    def body(_, carry):
+        T, p = carry
+        return _gn_step(cam, prob, T, p, pm_gate, cm_gate, lam,
+                        pcg_iters, pm_th, cm_th, axis)
+
+    Tcw, ptsT = jax.lax.fori_loop(0, n_iters, body, (Tcw, ptsT))
+    return Tcw, ptsT
+
+
 def solve_global_ba(
     cam: CameraParams,
     prob,

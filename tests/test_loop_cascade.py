@@ -310,3 +310,51 @@ def test_redundant_kfs_culled_but_loop_edges_protected(cfg, cam):
     valid2 = np.asarray(out2.kf_valid)
     assert valid2[1] and valid2[3], "loop-edge keyframes must survive culling"
     assert not valid2[2], "non-loop redundant keyframe still culled"
+
+
+def test_cull_reparents_by_max_covis_weight(cfg, cam):
+    """findParent (reference LocalMapping.cc:512-560): children of a culled
+    keyframe get the max-covisibility-weight parent from the greedy candidate
+    set — NOT blindly the grandparent.  Here child B is strongly covisible
+    with its sibling A (w=80) and not at all with the grandparent, so after
+    culling, A→grandparent and B→A; the old simplification set B→grandparent."""
+    from orb_slam2_ros2_tpu.mapstate.mapping import cull_keyframes
+
+    st = empty_map(cfg)
+    N = cfg.orb.max_keypoints
+    P = 30
+    g, c, A, B, tracker = 1, 2, 3, 4, 5
+    feat = np.arange(P, dtype=np.int32)
+    pad_i = np.concatenate([feat, np.full(N - P, -1, np.int32)])
+    for k in range(6):
+        st = st._replace(
+            kf_valid=st.kf_valid.at[k].set(True),
+            kf_octave=st.kf_octave.at[k].set(0),
+        )
+    # only the culled KF c carries map points (others fail the n_mp>20 gate)
+    st = st._replace(
+        kf_feat_valid=st.kf_feat_valid.at[c].set(jnp.asarray(np.arange(N) < P)),
+        kf_mp_idx=st.kf_mp_idx.at[c].set(jnp.asarray(pad_i)),
+    )
+    obs_kf = np.full((st.mp_capacity, st.mp_obs_kf.shape[1]), -1, np.int32)
+    obs_ft = obs_kf.copy()
+    obs_kf[:P, :4] = np.asarray([c, 0, g, tracker])[None, :]
+    obs_ft[:P, :4] = feat[:, None]
+    covis = np.zeros((st.kf_capacity,) * 2, np.int32)
+    covis[tracker, c] = covis[c, tracker] = 30   # c is a cull candidate of `tracker`
+    covis[A, g] = covis[g, A] = 50               # A ↔ grandparent
+    covis[A, B] = covis[B, A] = 80               # B ↔ sibling A (the right parent)
+    parents = np.full(st.kf_capacity, -1, np.int32)
+    parents[c], parents[A], parents[B] = g, c, c
+    st = st._replace(
+        mp_valid=st.mp_valid.at[:P].set(True),
+        mp_n_obs=st.mp_n_obs.at[:P].set(4),
+        mp_obs_kf=jnp.asarray(obs_kf), mp_obs_feat=jnp.asarray(obs_ft),
+        covis=jnp.asarray(covis), kf_parent=jnp.asarray(parents),
+        next_kf=jnp.asarray(6, jnp.int32), next_mp=jnp.asarray(P, jnp.int32),
+    )
+    out = cull_keyframes(st, jnp.asarray(tracker))
+    assert not bool(out.kf_valid[c]), "redundant keyframe must be culled"
+    new_parents = np.asarray(out.kf_parent)
+    assert new_parents[A] == g, f"A should reparent to grandparent, got {new_parents[A]}"
+    assert new_parents[B] == A, f"B should reparent to sibling A, got {new_parents[B]}"
