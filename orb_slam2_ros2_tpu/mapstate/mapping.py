@@ -249,7 +249,12 @@ def triangulate_new_points(
 
 
 def cull_mappoints(
-    state: MapState, current_kf, *, cull_score: float = 0.25, settle_kfs: int = 3
+    state: MapState,
+    current_kf,
+    *,
+    cull_score: float = 0.25,
+    settle_kfs: int = 3,
+    window: int | None = None,
 ) -> MapState:
     """Remove low-quality map points (reference cullingMapPoints,
     LocalMapping.cc:674-714): found/visible < ``cull_score``, or still <2
@@ -257,25 +262,43 @@ def cull_mappoints(
     RECENTLY created points (the reference's mlpRecentAddedMapPoints window —
     points settle after ``settle_kfs`` keyframes and are then never ratio-
     culled, so mature landmarks that leave view survive).  Culled slots are
-    invalidated and their keyframe feature slots cleared."""
-    score = state.mp_found.astype(jnp.float32) / jnp.maximum(state.mp_visible.astype(jnp.float32), 1.0)
-    recent = (state.mp_first_kf >= 0) & (current_kf <= state.mp_first_kf + settle_kfs)
+    invalidated and their keyframe feature slots cleared.
+
+    Bump allocation is contiguous, so every cullable (recent) point lives in
+    the id suffix ``[next_mp − window, next_mp)`` — the check runs on that
+    dynamic slice instead of all M capacity slots (r3 perf: the full-capacity
+    scan was the single biggest piece of the keyframe-insertion program)."""
+    M = state.mp_capacity
+    N = state.kf_mp_idx.shape[1]
+    K = state.kf_capacity
+    O = state.mp_obs_kf.shape[1]
+    # one KF allocates ≤ 2N points (stereo seeds + triangulation); recency
+    # spans settle_kfs+1 keyframes → 8N covers it with margin
+    W = min(window if window is not None else 8 * N, M)
+    start = jnp.clip(state.next_mp - W, 0, M - W)
+    ids = start + jnp.arange(W, dtype=jnp.int32)
+
+    found = jax.lax.dynamic_slice(state.mp_found, (start,), (W,))
+    visible = jax.lax.dynamic_slice(state.mp_visible, (start,), (W,))
+    first_kf = jax.lax.dynamic_slice(state.mp_first_kf, (start,), (W,))
+    n_obs = jax.lax.dynamic_slice(state.mp_n_obs, (start,), (W,))
+    valid = jax.lax.dynamic_slice(state.mp_valid, (start,), (W,))
+
+    score = found.astype(jnp.float32) / jnp.maximum(visible.astype(jnp.float32), 1.0)
+    recent = (first_kf >= 0) & (current_kf <= first_kf + settle_kfs)
     bad_score = score < cull_score
-    bad_obs = (current_kf >= state.mp_first_kf + 2) & (state.mp_n_obs < 2)
-    cull = state.mp_valid & recent & (bad_score | bad_obs)
+    bad_obs = (current_kf >= first_kf + 2) & (n_obs < 2)
+    cull = valid & recent & (bad_score | bad_obs)
 
     # clear kf_mp_idx entries of culled points via their observation lists
-    obs_kf = jnp.where(cull[:, None], state.mp_obs_kf, -1)
-    obs_feat = state.mp_obs_feat
-    K = state.kf_capacity
-    N = state.kf_mp_idx.shape[1]
-    flat_kf = jnp.where(obs_kf >= 0, obs_kf, K).reshape(-1)
+    obs_kf = jax.lax.dynamic_slice(state.mp_obs_kf, (start, 0), (W, O))
+    obs_feat = jax.lax.dynamic_slice(state.mp_obs_feat, (start, 0), (W, O))
+    okc = cull[:, None] & (obs_kf >= 0)
+    flat_kf = jnp.where(okc, obs_kf, K).reshape(-1)
     flat_feat = jnp.clip(obs_feat, 0, N - 1).reshape(-1)
     kf_mp_idx = state.kf_mp_idx.at[flat_kf, flat_feat].set(-1, mode="drop")
-    return state._replace(
-        mp_valid=state.mp_valid & ~cull,
-        kf_mp_idx=kf_mp_idx,
-    )
+    mp_valid = state.mp_valid.at[jnp.where(cull, ids, M)].set(False, mode="drop")
+    return state._replace(mp_valid=mp_valid, kf_mp_idx=kf_mp_idx)
 
 
 def cull_keyframes(
@@ -472,9 +495,22 @@ def fuse_keyframe_into_neighbors(
             st, kn, cam, cand,
             width=width, height=height, scale_factor=scale_factor,
             n_levels=n_levels, th=th, max_dist=max_dist, ratio=ratio,
-            allow_merge=allow_merge,
+            allow_merge=allow_merge, update_stats=False,
         )
-    # the new KF's own covisibility row after both fuse directions
+    # distillation/normals ONCE over the whole candidate set (each per-pass
+    # refresh repeated the [N, O, O] hamming work ~n_neighbors times), then
+    # refresh covisibility rows of every touched keyframe
+    touched = jnp.where(base_valid & st.mp_valid[mpc], mp, -1)
+    st = _distill_descriptors(st, touched)
+    st = _update_normals_and_depth(st, touched, scale_factor, n_levels)
+    covis = st.covis
+    for j in range(n_neighbors):
+        kn = nb_ids[j]
+        row = _covis_row_for_kf(st._replace(covis=covis), kn)
+        keep = (nb_w[j] > 0) & (kn != kf_id)
+        row = jnp.where(keep, row, covis[kn])
+        covis = covis.at[kn, :].set(row).at[:, kn].set(row)
+    st = st._replace(covis=covis)
     row = _covis_row_for_kf(st, kf_id)
     covis = st.covis.at[kf_id, :].set(row).at[:, kf_id].set(row)
     return st._replace(covis=covis)
@@ -495,8 +531,13 @@ def fuse_candidates_into_keyframe(
     ratio: float = 0.6,
     loop_priority: bool = False,
     allow_merge: bool = True,
+    update_stats: bool = True,
 ) -> MapState:
     """Fuse an explicit candidate set (a ``LocalMap`` snapshot) into ``kf_id``.
+
+    ``update_stats=False`` skips the descriptor-distillation / normal /
+    covisibility refresh tail — for callers that fuse the SAME candidate set
+    into several keyframes and refresh once at the end.
 
     ``loop_priority=True`` reproduces the loop-closing fuse variant
     (ORBMatcher::fuse called with bLoop=true at LoopClosing.cc:515-517,
@@ -559,6 +600,8 @@ def fuse_candidates_into_keyframe(
     loser = jnp.where(win_new, mp_old, mp_new)
     st = merge_mappoints(st, winner, loser, merge)
 
+    if not update_stats:
+        return st
     touched = jnp.where(found, mp_new, -1)
     st = _distill_descriptors(st, touched)
     st = _update_normals_and_depth(st, touched, scale_factor, n_levels)

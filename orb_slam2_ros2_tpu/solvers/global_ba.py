@@ -117,10 +117,33 @@ class PendingGBA(NamedTuple):
     chunks_done: int
 
 
+def _compact_global(prob: GlobalBAProblem, n_kf: int, n_mp: int) -> GlobalBAProblem:
+    """Slice the problem to the live allocation watermarks (bump allocation
+    is contiguous, so ids < watermark cover every live slot).  The stores are
+    capacity-padded (e.g. 262k point slots holding 5k live points); solving
+    over the padding wasted >10× the chunk's FLOPs and bandwidth."""
+    K = max(((n_kf + 63) // 64) * 64, 64)
+    M = max(((n_mp + 1023) // 1024) * 1024, 1024)
+    K = min(K, prob.cam_Tcw.shape[0])
+    M = min(M, prob.pt_pos.shape[0])
+    return GlobalBAProblem(
+        cam_Tcw=prob.cam_Tcw[:K], cam_free=prob.cam_free[:K],
+        pt_pos=prob.pt_pos[:M], pt_valid=prob.pt_valid[:M],
+        pm_cam=prob.pm_cam[:, :M], pm_uv=prob.pm_uv[:, :, :M],
+        pm_right_u=prob.pm_right_u[:, :M],
+        pm_inv_sigma2=prob.pm_inv_sigma2[:, :M], pm_valid=prob.pm_valid[:, :M],
+        cm_pt=prob.cm_pt[:, :K], cm_uv=prob.cm_uv[:, :, :K],
+        cm_right_u=prob.cm_right_u[:, :K],
+        cm_inv_sigma2=prob.cm_inv_sigma2[:, :K], cm_valid=prob.cm_valid[:, :K],
+    )
+
+
 def start_global_ba(state: MapState, scale_factor: float = 1.2) -> PendingGBA:
     """Snapshot the map into a chunked-GBA state (no solving yet)."""
     pprob = extract_global_problem(state, scale_factor)
     prob = point_to_global(pprob)
+    n_kf, n_mp = int(state.next_kf), int(state.next_mp)
+    prob = _compact_global(prob, n_kf, n_mp)
     # the snapshot must OWN its buffers: extract/convert pass some live map
     # arrays through unchanged (e.g. cam_Tcw = state.kf_Tcw), and the live
     # map is donated by later keyframe programs — a chunk run frames later
@@ -130,9 +153,9 @@ def start_global_ba(state: MapState, scale_factor: float = 1.2) -> PendingGBA:
         prob=prob,
         Tcw=prob.cam_Tcw,
         ptsT=prob.pt_pos.T,
-        pt_in_ba=pprob.pt_valid,
-        snap_next_kf=int(state.next_kf),
-        snap_next_mp=int(state.next_mp),
+        pt_in_ba=jnp.copy(pprob.pt_valid[: prob.pt_pos.shape[0]]),
+        snap_next_kf=n_kf,
+        snap_next_mp=n_mp,
         chunks_done=0,
     )
 

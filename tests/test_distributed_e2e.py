@@ -1,0 +1,112 @@
+"""Distributed global BA driven through the SLAM SYSTEM (r2 VERDICT next#6).
+
+Round 2 only tested the bare sharded solver; here the full pipeline runs with
+``dist.n_devices=8`` on the virtual CPU mesh: the circle sequence closes a
+loop, the background GBA chunks execute through ``SLAM._step_pending_gba``
+with the mesh plumbed system → step_global_ba → shard_map, and the committed
+map matches an unsharded solve of the same snapshot within tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_ros2_tpu.config import (
+    BAConfig,
+    BoWConfig,
+    CameraConfig,
+    DistConfig,
+    MapConfig,
+    ORBConfig,
+    SLAMConfig,
+    TrackingConfig,
+)
+from orb_slam2_ros2_tpu.io.synthetic import SyntheticStereoDataset
+from orb_slam2_ros2_tpu.pipeline.system import SLAM
+
+pytestmark = pytest.mark.slow
+
+
+def _cfg(n_devices):
+    return SLAMConfig(
+        camera=CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=96.0, baseline=0.5,
+                            width=320, height=192),
+        orb=ORBConfig(n_features=600, max_keypoints=768),
+        tracking=TrackingConfig(min_init_depth_kps=120, max_local_mappoints=4096,
+                                max_local_keyframes=16, motion_search_radius=35.0,
+                                min_localmap_matches=20, min_localmap_inliers=20),
+        map=MapConfig(max_keyframes=64, max_mappoints=16384, max_obs_per_mp=16),
+        bow=BoWConfig(branching=6, depth=3),
+        ba=BAConfig(pcg_iters=20),
+        dist=DistConfig(n_devices=n_devices),
+    )
+
+
+def test_distributed_gba_through_system():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    cfg = _cfg(8)
+    n_frames = 56
+    ds = SyntheticStereoDataset(cfg.camera, n_frames=n_frames, circle=True)
+    slam = SLAM(cfg)
+    assert slam.mesh is not None and slam.mesh.devices.size == 8
+
+    # instrument: record that the background-GBA chunks actually received the
+    # mesh (system → _step_pending_gba → step_global_ba → shard_map)
+    from orb_slam2_ros2_tpu.solvers import global_ba as G
+
+    calls = []
+    orig_step = G.step_global_ba
+
+    def spy(pending, cam, **kw):
+        calls.append(kw.get("mesh"))
+        return orig_step(pending, cam, **kw)
+
+    G.step_global_ba = spy
+    try:
+        for i in range(n_frames):
+            imgL, imgR, _ = ds.frame(i)
+            Tcw, stats = slam.track(imgL, imgR)
+            assert Tcw is not None, f"lost at frame {i}: {stats}"
+        assert getattr(slam, "loops_closed", 0) >= 1, "no loop closed"
+        slam.flush()  # drain remaining GBA chunks through the sharded path
+    finally:
+        G.step_global_ba = orig_step
+
+    assert calls, "background GBA never stepped"
+    assert all(m is slam.mesh for m in calls), "GBA chunks did not ride the mesh"
+
+    # the committed sharded solve must match an unsharded solve of the same
+    # problem: re-run the chunk schedule on the final map without the mesh
+    # and compare directly (same snapshot → deterministic comparison)
+    state = slam.map
+    cam = slam.cam
+    b, lp = cfg.ba, cfg.loop
+    phase1 = lp.global_ba_phase_iters[0]
+    total = sum(lp.global_ba_phase_iters)
+
+    def run_chunks(mesh):
+        pend = G.start_global_ba(state, cfg.orb.scale_factor)
+        for _ in range(total):
+            pend = G.step_global_ba(
+                pend, cam, n_iters=1, pcg_iters=b.pcg_iters,
+                chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+                robust_after=phase1, mesh=mesh,
+            )
+        return G.commit_global_ba(state, pend)
+
+    sharded = run_chunks(slam.mesh)
+    unsharded = run_chunks(None)
+    kv = np.asarray(state.kf_valid)
+    mv = np.asarray(state.mp_valid)
+    dT = np.abs(np.asarray(sharded.kf_Tcw) - np.asarray(unsharded.kf_Tcw))[kv]
+    dP = np.abs(np.asarray(sharded.mp_pos) - np.asarray(unsharded.mp_pos))[mv]
+    assert dT.max() < 1e-3, f"sharded vs unsharded pose diff {dT.max()}"
+    # points: the sharded reduction sums in a different order; a handful of
+    # near-degenerate landmarks (tiny Schur pivots) amplify the last-ulp
+    # difference, so bound the distribution rather than the worst point
+    assert np.percentile(dP, 99.5) < 5e-3, (
+        f"sharded vs unsharded point diff p99.5 {np.percentile(dP, 99.5)}"
+    )
+    assert np.median(dP) < 1e-4
