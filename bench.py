@@ -134,7 +134,8 @@ def main():
     _wait_for_backend()
     cfg = SLAMConfig()
     cam = CameraParams.from_config(cfg.camera)
-    ds = SyntheticStereoDataset(cfg.camera, n_frames=WARM_FRAMES, circle=True)
+    ds = SyntheticStereoDataset(cfg.camera, n_frames=WARM_FRAMES, circle=True,
+                                box_scale=2.5)
 
     frames_l, frames_r = [], []
     for i in range(WARM_FRAMES):
@@ -174,11 +175,11 @@ def main():
     ref_kf0 = jnp.asarray(slam.ref_kf, jnp.int32)
     from functools import partial as _partial
 
-    from orb_slam2_ros2_tpu.mapstate.local_map import local_map_snapshot
+    from orb_slam2_ros2_tpu.mapstate.local_map import local_map_snapshot_frame
     from orb_slam2_ros2_tpu.pipeline.system import STAT_KEYS
 
     snap_fn = _partial(
-        local_map_snapshot,
+        local_map_snapshot_frame,
         max_kfs=cfg.tracking.max_local_keyframes,
         max_mps=cfg.tracking.max_local_mappoints,
     )
@@ -192,15 +193,11 @@ def main():
             state, velocity, host_vec, mapstate = step_fn(
                 cam, il, ir, state, velocity, local, mapstate, ref_kf
             )
-            # slide the local-map snapshot with the trajectory exactly as the
-            # production only-tracking mode does (refresh on best-ref change)
+            # rebuild the local map around the frame every step — exactly the
+            # per-frame refresh SLAM.track() dispatches (buildLocalMap)
             best_ref = host_vec[BEST_REF_IDX].astype(jnp.int32)
-            refresh = (best_ref >= 0) & (best_ref != ref_kf)
-            local, ref_kf = jax.lax.cond(
-                refresh,
-                lambda: (snap_fn(mapstate, best_ref), best_ref),
-                lambda: (local, ref_kf),
-            )
+            ref_kf = jnp.where(best_ref >= 0, best_ref, ref_kf)
+            local = snap_fn(mapstate, state.mp_ids)
             return (state, velocity, mapstate, local, ref_kf), host_vec
 
         (state, velocity, mapstate, local, ref_kf), hv = jax.lax.scan(

@@ -110,11 +110,11 @@ class TrackingConfig:
     # KF cadence lower bound (MinFrames).  The reference ships 0 and relies on
     # its LocalMapping thread being BUSY (several camera frames per KF) to
     # throttle the c1b idle-mapper term; our deferred mapping tail completes
-    # within ~1 frame, so a floor of 2 stands in for that backpressure —
+    # within ~1 frame, so a floor of 3 stands in for that backpressure —
     # without it c1b inserts a keyframe every ~2 frames (r2 VERDICT weak#2).
     # c1c (ratio < 0.25 / close-point starvation) still fires immediately,
     # which keeps fast-rotation sequences (the loop-closure circle) tracking.
-    min_frames: int = 2
+    min_frames: int = 3
     th_depth: float = 35.0  # near-point multiplier: depth_th = baseline*ThDepth
     min_init_depth_kps: int = 500  # stereo init gate (Tracking.cc:104-111)
     motion_search_radius: float = 15.0  # projection radius (→×2 retry)
@@ -201,8 +201,9 @@ class BAConfig:
     # acceptance converges in ~3-5, so 6 buys the same accuracy at half cost
     pose_iters_per_round: int = 6
     # damped-GN iterations per local-BA phase (reference: 5 + χ² gate + 10,
-    # Optimizer.cc:225-442; our LM step acceptance needs fewer)
-    local_ba_phase_iters: Tuple[int, int] = (3, 5)
+    # Optimizer.cc:225-442; our LM with step acceptance needs fewer — ATE
+    # measured flat from (3,5) down to (2,3) while BA time drops ~40%)
+    local_ba_phase_iters: Tuple[int, int] = (2, 3)
     max_local_ba_kfs: int = 16    # free keyframes in local BA window
     max_local_ba_fixed: int = 32  # fixed 2nd-ring anchors
     local_ba_points: int = 8192   # landmark slots in the local BA window

@@ -54,9 +54,17 @@ def _texture(p: jnp.ndarray) -> jnp.ndarray:
     return 255.0 * out / total
 
 
-@partial(jax.jit, static_argnames=("h", "w"))
-def render(K_inv: jnp.ndarray, Twc: jnp.ndarray, h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Render (image [h, w] f32 in [0,255], depth [h, w] f32 in camera z)."""
+@partial(jax.jit, static_argnames=("h", "w", "box_scale"))
+def render(
+    K_inv: jnp.ndarray, Twc: jnp.ndarray, h: int, w: int,
+    box_scale: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render (image [h, w] f32 in [0,255], depth [h, w] f32 in camera z).
+
+    ``box_scale`` widens the box's x/y extents (z unchanged): 1.0 is the
+    close-quarters default; ~1.6 matches KITTI-00's depth statistics
+    (building facades 10–30 m) so the KF-cadence logic sees a KITTI-like
+    close-point distribution."""
     us = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     vs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     pix = jnp.stack([us, vs, jnp.ones_like(us)], axis=-1)
@@ -65,9 +73,11 @@ def render(K_inv: jnp.ndarray, Twc: jnp.ndarray, h: int, w: int) -> Tuple[jnp.nd
     rays_w = jnp.einsum("ij,hwj->hwi", R, rays_c)
     origin = t
 
+    sxy = np.array([box_scale, box_scale, 1.0], np.float32)
+    bmin, bmax = BOX_MIN * sxy, BOX_MAX * sxy
     t_best = jnp.full((h, w), jnp.inf)
     for axis in range(3):
-        for bound in (BOX_MIN[axis], BOX_MAX[axis]):
+        for bound in (bmin[axis], bmax[axis]):
             d = rays_w[..., axis]
             safe_d = jnp.where(jnp.abs(d) > 1e-9, d, 1e-9)
             t_hit = (bound - origin[axis]) / safe_d
@@ -131,30 +141,39 @@ def render_adversarial(
             ok = t_hit > 1e-3
             t_best = jnp.where(ok & (t_hit < t_best), t_hit, t_best)
 
-    # moving distractor spheres (closest-hit override)
+    # moving distractor spheres (closest-hit override), placed on a ring
+    # OUTSIDE the validation trajectories' circle (radius 4 around
+    # [0, 0, 15]) so they occlude parts of the view like pedestrians/vehicles
+    # without ever swallowing it whole
     obj_id = jnp.zeros((h, w), jnp.int32)  # 0 = static world
     if n_distractors > 0:
         for j in range(n_distractors):
+            ang = 2.0 * np.pi * j / n_distractors + 0.7
             base = jnp.asarray([
-                -5.0 + 3.4 * j, -1.0 + 0.6 * (j % 3), 9.0 + 4.0 * j
+                7.0 * np.sin(ang), -1.0 + 0.6 * (j % 3),
+                15.0 - 7.0 * np.cos(ang),
             ], jnp.float32)
-            amp = jnp.asarray([1.5, 0.8, 2.0], jnp.float32)
+            amp = jnp.asarray([0.8, 0.5, 0.8], jnp.float32)
             wfreq = 0.11 + 0.037 * j
             centre = base + amp * jnp.sin(wfreq * t + j)
             radius = 0.6 + 0.25 * (j % 3)
             oc = origin - centre
+            a_ = jnp.sum(rays_w * rays_w, axis=-1)  # rays are NOT unit length
             b_ = jnp.einsum("hwi,i->hw", rays_w, oc)
             c_ = jnp.dot(oc, oc) - radius * radius
-            disc = b_ * b_ - c_
-            t_sph = -b_ - jnp.sqrt(jnp.maximum(disc, 0.0))
+            disc = b_ * b_ - a_ * c_
+            t_sph = (-b_ - jnp.sqrt(jnp.maximum(disc, 0.0))) / a_
             hit_ok = (disc > 0) & (t_sph > 1e-3) & (t_sph < t_best)
             t_best = jnp.where(hit_ok, t_sph, t_best)
             obj_id = jnp.where(hit_ok, j + 1, obj_id)
 
     hit = origin + t_best[..., None] * rays_w
-    # repeated texture: tile the +x wall every 5 m along z (aliasing)
+    # repeated texture: tile the UPPER BAND of the +x wall every 5 m along z
+    # (a corridor of identical posters — perceptual aliasing for place
+    # recognition; the lower band stays unique so frame-to-frame matching is
+    # degraded, not voided, when the wall fills the view)
     if repeat_texture:
-        on_wall = hit[..., 0] > BOX_MAX[0] - 0.1
+        on_wall = (hit[..., 0] > BOX_MAX[0] - 0.1) & (hit[..., 1] < -0.5)
         tiled_z = jnp.mod(hit[..., 2], 5.0)
         hit_tex = jnp.where(
             on_wall[..., None],
@@ -163,18 +182,24 @@ def render_adversarial(
         )
     else:
         hit_tex = hit
-    # distractor surfaces: object-local, time-sliding texture coordinates
+    # distractor surfaces: object-local, slowly time-sliding texture
+    # coordinates — the pattern must stereo-match WITHIN a frame (so the
+    # spheres become map points that then move, violating the static-world
+    # assumption) while drifting across frames
     oid = obj_id.astype(jnp.float32)
     slide = jnp.stack([
-        jnp.broadcast_to(0.7 * t, oid.shape), 11.0 * oid,
-        jnp.broadcast_to(0.3 * t, oid.shape),
+        jnp.broadcast_to(0.15 * t, oid.shape), 11.0 * oid,
+        jnp.broadcast_to(0.07 * t, oid.shape),
     ], axis=-1)
-    hit_tex = jnp.where((obj_id > 0)[..., None], hit * 2.3 + slide, hit_tex)
+    hit_tex = jnp.where((obj_id > 0)[..., None], hit + slide, hit_tex)
     img = _texture(hit_tex)
 
     depth = t_best * rays_c[..., 2]
     if sky:
-        far = depth > 60.0
+        # depthless sky: far geometry seen along level-or-upward rays renders
+        # featureless (KITTI-style: road texture continues to the horizon,
+        # the upper far field is blank sky; y is down in this convention)
+        far = (depth > 60.0) & (rays_w[..., 1] < 0.03)
         gradient = 96.0 + 40.0 * vs / h
         img = jnp.where(far, gradient, img)
 
@@ -229,7 +254,8 @@ class SyntheticStereoDataset:
     (example/Stereo/KittiStereo.cc) for environments without data.
     """
 
-    def __init__(self, cam_cfg, n_frames: int = 100, speed: float = 0.8, circle: bool = False):
+    def __init__(self, cam_cfg, n_frames: int = 100, speed: float = 0.8,
+                 circle: bool = False, box_scale: float = 1.0):
         self.cfg = cam_cfg
         self.poses_wc = circle_trajectory(n_frames) if circle else trajectory(n_frames, speed)
         K = np.array(
@@ -238,6 +264,7 @@ class SyntheticStereoDataset:
         )
         self.K_inv = jnp.asarray(np.linalg.inv(K))
         self.n_frames = n_frames
+        self.box_scale = box_scale
 
     def __len__(self):
         return self.n_frames
@@ -245,10 +272,12 @@ class SyntheticStereoDataset:
     def frame(self, i: int):
         """Returns (img_left, img_right, Twc_gt) — images [H, W] f32."""
         Twc = jnp.asarray(self.poses_wc[i])
-        imgL, _ = render(self.K_inv, Twc, self.cfg.height, self.cfg.width)
+        imgL, _ = render(self.K_inv, Twc, self.cfg.height, self.cfg.width,
+                         self.box_scale)
         right_offset = jnp.eye(4).at[0, 3].set(self.cfg.baseline)
         Twc_r = Twc @ right_offset
-        imgR, _ = render(self.K_inv, Twc_r, self.cfg.height, self.cfg.width)
+        imgR, _ = render(self.K_inv, Twc_r, self.cfg.height, self.cfg.width,
+                         self.box_scale)
         return imgL, imgR, np.asarray(self.poses_wc[i])
 
     def frame_with_depth(self, i: int):

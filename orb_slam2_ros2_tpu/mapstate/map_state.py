@@ -438,8 +438,12 @@ def insert_keyframe(
     st = st._replace(kf_mp_idx=st.kf_mp_idx.at[k].set(jnp.where(tracked_ok, tracked_mp, -1)))
     st = _append_observations(st, k, tracked_mp, feat_ids, tracked_ok)
 
-    # -- 3. create new map points from close stereo depth ------------------
-    close = frame.feats.valid & (frame.depth > 0) & (frame.depth < depth_threshold) & (~tracked_ok)
+    # -- 3. create new map points from stereo depth -------------------------
+    # the reference unprojects EVERY unmatched feature with valid depth when
+    # a frame becomes a keyframe (Frame::unProject, Frame.cc:179-202, called
+    # from updateCurrFrame/initForStereo) — depth_threshold only feeds the
+    # needNewKeyFrame close-point statistics, not point creation
+    close = frame.feats.valid & (frame.depth > 0) & (~tracked_ok)
     n_new = jnp.cumsum(close.astype(jnp.int32)) - 1
     new_ids = jnp.where(close, state.next_mp + n_new, -1)
     cap_ok = new_ids < st.mp_capacity

@@ -34,9 +34,10 @@ def cfg():
         camera=CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=96.0, baseline=0.5,
                             width=320, height=192),
         orb=ORBConfig(n_features=600, max_keypoints=768),
-        tracking=TrackingConfig(min_init_depth_kps=100, max_local_mappoints=4096,
+        tracking=TrackingConfig(min_init_depth_kps=60, max_local_mappoints=4096,
                                 max_local_keyframes=16, motion_search_radius=35.0,
-                                min_localmap_matches=20, min_localmap_inliers=20),
+                                min_localmap_matches=20, min_localmap_inliers=20,
+                                min_frames=1),
         map=MapConfig(max_keyframes=128, max_mappoints=32768, max_obs_per_mp=16),
         bow=BoWConfig(branching=6, depth=3),
         ba=BAConfig(pcg_iters=20),

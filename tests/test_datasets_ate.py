@@ -5,6 +5,10 @@ import numpy as np
 
 from orb_slam2_ros2_tpu.io.datasets import associate_gt, load_kitti_gt, load_tum_gt
 from orb_slam2_ros2_tpu.io.trajectory import ate_rmse, rotation_to_quat
+import pytest
+
+# multi-frame full-SLAM integration: excluded from the default fast run
+pytestmark = pytest.mark.slow
 
 
 def _rand_pose(rng):

@@ -15,9 +15,13 @@ def test_entry_compiles_and_runs():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    Tcw = np.asarray(out[0])
+    # entry() returns the production frame program's outputs:
+    # (SlamFrame, velocity, host_vec, MapState)
+    new_state, velocity, host_vec, mapstate = out
+    Tcw = np.asarray(new_state.Tcw)
     assert Tcw.shape == (4, 4)
     assert np.isfinite(Tcw).all()
+    assert np.isfinite(np.asarray(host_vec)).all()
 
 
 def test_dryrun_multichip_8():

@@ -28,7 +28,11 @@ def cfg():
                                 max_local_keyframes=16, motion_search_radius=35.0,
                                 # 600-feature 320×192 scene: scale the
                                 # reference's 30-inlier local-map gates down
-                                min_localmap_matches=20, min_localmap_inliers=20),
+                                min_localmap_matches=20, min_localmap_inliers=20,
+                                # 9°/frame rotation needs dense keyframes —
+                                # per-dataset cadence tuning, like the
+                                # reference's per-config MaxFrames/MinFrames
+                                min_frames=1),
         map=MapConfig(max_keyframes=64, max_mappoints=16384, max_obs_per_mp=16),
         bow=BoWConfig(branching=6, depth=3),
         ba=BAConfig(pcg_iters=20),

@@ -12,6 +12,9 @@ from orb_slam2_ros2_tpu.io.synthetic import SyntheticStereoDataset
 from orb_slam2_ros2_tpu.io.trajectory import ate_rmse
 from orb_slam2_ros2_tpu.pipeline.tracking import OdometryTracker, TrackState
 
+# multi-frame full-SLAM integration: excluded from the default fast run
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cfg():

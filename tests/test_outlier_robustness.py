@@ -14,6 +14,10 @@ from orb_slam2_ros2_tpu.config import CameraConfig
 from orb_slam2_ros2_tpu.geometry import se3
 from orb_slam2_ros2_tpu.geometry.camera import CameraParams, project
 from orb_slam2_ros2_tpu.solvers.pose_opt import PoseObs, optimize_pose
+import pytest
+
+# multi-frame full-SLAM integration: excluded from the default fast run
+pytestmark = pytest.mark.slow
 
 
 def test_monster_outlier_does_not_capture_pose():

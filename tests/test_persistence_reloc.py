@@ -16,6 +16,9 @@ from orb_slam2_ros2_tpu.io.synthetic import SyntheticStereoDataset
 from orb_slam2_ros2_tpu.pipeline.system import SLAM
 from orb_slam2_ros2_tpu.pipeline.tracking import TrackState
 
+# multi-frame full-SLAM integration: excluded from the default fast run
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cfg():

@@ -16,6 +16,9 @@ from orb_slam2_ros2_tpu.io.synthetic import SyntheticStereoDataset, render
 from orb_slam2_ros2_tpu.io.trajectory import ate_rmse
 from orb_slam2_ros2_tpu.pipeline.system import SLAM
 
+# multi-frame full-SLAM integration: excluded from the default fast run
+pytestmark = pytest.mark.slow
+
 
 def test_rgbd_slam_tracks(tmp_path):
     cfg = SLAMConfig(

@@ -28,6 +28,7 @@ def cfg():
     )
 
 
+@pytest.mark.slow
 def test_slam_tracks_and_maps(cfg):
     n_frames = 40
     ds = SyntheticStereoDataset(cfg.camera, n_frames=n_frames, speed=0.35)
@@ -125,6 +126,7 @@ def test_color_mode_conversion(cfg):
             np.testing.assert_allclose(p_rgb, p_gray, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_map_capacity_auto_grows(cfg):
     """Deliberately tiny store capacities must DOUBLE on the fly while
     tracking (map-length scaling, SURVEY §5.7): the run needs more keyframes
@@ -167,6 +169,7 @@ def test_grow_map_matches_empty_padding(cfg):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
 
 
+@pytest.mark.slow
 def test_tracking_robust_to_image_noise(cfg):
     """Sensor-noise robustness: i.i.d. Gaussian noise (σ=6 gray levels) on
     every frame must not break tracking — FAST thresholds, matching gates and

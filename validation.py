@@ -51,16 +51,10 @@ def log(msg):
 
 
 def make_cfg():
-    return SLAMConfig(
-        camera=CameraConfig(fx=320.0, fy=320.0, cx=240.0, cy=136.0,
-                            baseline=0.5, width=480, height=272),
-        orb=ORBConfig(n_features=1000, max_keypoints=1024),
-        tracking=TrackingConfig(min_init_depth_kps=150, max_local_mappoints=8192,
-                                max_local_keyframes=32, motion_search_radius=25.0),
-        map=MapConfig(max_keyframes=256, max_mappoints=65536, max_obs_per_mp=16),
-        bow=BoWConfig(branching=8, depth=3),
-        ba=BAConfig(pcg_iters=30),
-    )
+    # the stock KITTI-size config: every jitted program is already in the
+    # persistent compile cache from bench/bench_full runs, so the harness
+    # measures instead of compiling
+    return SLAMConfig()
 
 
 def run_sequence(slam, ds, n_frames, gt_events=None):
