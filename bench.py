@@ -9,12 +9,17 @@ fused program ``SLAM.track()`` dispatches every frame): dual ORB extraction
 (pyramid, FAST, oriented BRIEF), stereo SAD depth, motion-model match +
 pose-only LM, local-map projection matching against a live multi-KF map
 snapshot, second pose refinement, per-point counter bumps and the keyframe-
-decision statistics.  The map is built first by running full SLAM (mapping +
-loop closing) around a closed circle; the timed ``lax.scan`` then re-tracks
-a lap of that circle entirely on device — steady-state tracking compute with
-no host/tunnel round-trips inside the loop, at the real per-frame workload
+decision statistics — steady-state tracking compute with no host/tunnel
+round-trips inside the ``lax.scan`` loop, at the real per-frame workload
 (r2 VERDICT weak#1: the previous headline scanned a lighter odometry-only
 pipeline).
+
+A straight forward pass (KITTI-like speed/depth statistics) is mapped with
+full SLAM first; the timed scan then tracks the RETURN PASS — the same
+viewpoints traversed backward, a robot backtracking its corridor.  The
+return pass sees the finished map from mapped viewpoints, so the scan
+measures steady-state tracking at healthy inlier counts without needing
+keyframe insertion inside the scan.
 
 Baseline: the reference publishes no absolute fps (BASELINE.md).  ORB-SLAM2
 class stereo trackers at 2000 features run ≈30 fps on desktop CPU and the
@@ -48,8 +53,8 @@ BASELINE_FPS = 25.0
 # 80 frames amortize the ~33 ms tunnel dispatch+fetch round-trip to
 # <0.5 ms/frame of measurement bias (the scan itself is device-resident)
 N_FRAMES = 80
-# map-building lap: one full circle (circle_trajectory period is
-# WARM_FRAMES − 4, so frame WARM_FRAMES continues seamlessly at frame 0)
+# forward mapping pass; the timed scan is the return pass over frames
+# [WARM_FRAMES-2 .. WARM_FRAMES-1-N_FRAMES] in reverse
 WARM_FRAMES = 84
 T0 = time.time()
 
@@ -86,16 +91,16 @@ def _wait_for_backend(max_wait_s: float = 1800.0) -> bool:
 
 
 def _bench_local_ba(cam) -> float:
-    """Time one local-BA window solve (16 free cams + 32 fixed, 8192 points,
-    O=24 observation fan-out — the production window in the production
-    per-point layout) on a synthetic problem."""
+    """Time one local-BA window solve at the PRODUCTION window (12 free +
+    24 fixed cameras, 4096 points, O=24 fan-out, (2,3) phase iterations) on
+    a synthetic problem."""
     from orb_slam2_ros2_tpu.geometry import se3
     from orb_slam2_ros2_tpu.geometry.camera import project
     from orb_slam2_ros2_tpu.solvers.pcg_ba import PointBAProblem
     from orb_slam2_ros2_tpu.solvers.schur_ba import solve_ba_points
 
     r = np.random.default_rng(0)
-    C, P, O = 48, 8192, 24
+    C, P, O = 36, 4096, 24
     pts = np.stack([r.uniform(-20, 20, P), r.uniform(-5, 5, P), r.uniform(5, 60, P)], 1).astype(np.float32)
     Tcw = np.stack([
         np.asarray(se3.exp(jnp.asarray([0.5 * i, 0, 0.1 * i, 0, 0.005 * i, 0], jnp.float32)))
@@ -107,7 +112,7 @@ def _bench_local_ba(cam) -> float:
     uv = np.asarray(uv)
     valid = (pc[..., 2] > 1) & (uv[..., 0] > 0) & (uv[..., 0] < 1241) & (uv[..., 1] > 0) & (uv[..., 1] < 376)
     cam_free = np.ones(C, bool)
-    cam_free[16:] = False  # 16 free + 32 fixed anchors
+    cam_free[12:] = False  # 12 free + 24 fixed anchors
     cam_free[0] = False
     prob = PointBAProblem(
         cam_Tcw=jnp.asarray(Tcw), cam_free=jnp.asarray(cam_free),
@@ -120,7 +125,7 @@ def _bench_local_ba(cam) -> float:
         obs_valid=jnp.asarray(valid),
     )
     fn = jax.jit(lambda p: solve_ba_points(
-        CameraParams.from_config(SLAMConfig().camera), p, phase_iters=(3, 5))[0])
+        CameraParams.from_config(SLAMConfig().camera), p, phase_iters=(2, 3))[0])
     np.asarray(fn(prob))  # compile
     best = 1e9
     for _ in range(3):
@@ -134,8 +139,8 @@ def main():
     _wait_for_backend()
     cfg = SLAMConfig()
     cam = CameraParams.from_config(cfg.camera)
-    ds = SyntheticStereoDataset(cfg.camera, n_frames=WARM_FRAMES, circle=True,
-                                box_scale=2.5)
+    ds = SyntheticStereoDataset(cfg.camera, n_frames=WARM_FRAMES, speed=0.8,
+                                box_scale=2.5, sky=True)
 
     frames_l, frames_r = [], []
     for i in range(WARM_FRAMES):
@@ -163,11 +168,12 @@ def main():
     log(f"map built ({slam.n_keyframes} kfs, {slam.n_mappoints} mps, "
         f"{getattr(slam, 'loops_closed', 0)} loops)")
 
-    # the circle's period is WARM_FRAMES − 4: after the warm lap the tracker
-    # sits at the angle of frame 3, so frames [4, WARM_FRAMES) replay the
-    # next lap seamlessly against the now-complete map
-    stack_l = jnp.stack(frames_l[4:])  # [T, H, W]
-    stack_r = jnp.stack(frames_r[4:])
+    # the return pass: retrace the mapped corridor backward from the warm
+    # endpoint (same viewpoints, no map seam — the scan cannot insert
+    # keyframes, so it must track viewpoints the map already covers)
+    rev = list(range(WARM_FRAMES - 2, WARM_FRAMES - 2 - N_FRAMES, -1))
+    stack_l = jnp.stack([frames_l[i] for i in rev])  # [T, H, W]
+    stack_r = jnp.stack([frames_r[i] for i in rev])
     assert stack_l.shape[0] == N_FRAMES, stack_l.shape
 
     step_fn = slam._frame_fn  # the PRODUCTION per-frame program

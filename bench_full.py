@@ -43,7 +43,7 @@ def main():
     # reference's close-point KF term permanently and measures a harder-
     # than-KITTI keyframe cadence
     ds = SyntheticStereoDataset(cfg.camera, n_frames=N_FRAMES + 42, speed=0.8,
-                                box_scale=2.5)
+                                box_scale=2.5, sky=True)
     frames = [ds.frame(i)[:2] for i in range(N_FRAMES + 40)]
     jax.block_until_ready(frames[-1][0])
     log("rendered")

@@ -114,15 +114,15 @@ def transform(vocab: Vocabulary, desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.n
     k = vocab.branching
     n = desc.shape[0]
     node = jnp.zeros((n,), jnp.int32)  # parent index at current depth
+    sd = unpack_signs(desc).astype(jnp.float32)                          # [N, 256]
     for d in range(vocab.depth):
         table = vocab.levels[d]  # [k^(d+1), 8]
         # children of `node` are rows [node*k, node*k+k)
         child_idx = node[:, None] * k + jnp.arange(k)[None, :]          # [N, k]
         cands = table[child_idx]                                         # [N, k, 8]
         # hamming via sign-matmul per row
-        sd = unpack_signs(desc)                                          # [N, 256]
         sc = unpack_signs(cands.reshape(-1, 8)).reshape(n, k, 256)
-        dot = jnp.einsum("nb,nkb->nk", sd.astype(jnp.float32), sc.astype(jnp.float32))
+        dot = jnp.einsum("nb,nkb->nk", sd, sc.astype(jnp.float32))
         best = jnp.argmin((256.0 - dot) * 0.5, axis=1)
         node = node * k + best.astype(jnp.int32)
     return jnp.where(valid, node, -1)

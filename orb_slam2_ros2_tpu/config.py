@@ -133,8 +133,10 @@ class TrackingConfig:
     # calibrated for its 2000-feature budget
     need_close_tracked_th: int = 100
     need_close_untracked_th: int = 70
-    # capacity of the device-resident local-map snapshot (1st+2nd ring MPs)
-    max_local_mappoints: int = 16384
+    # capacity of the device-resident local-map snapshot (1st+2nd ring MPs);
+    # ring-1 points survive the cap first.  8192 covers the 1+2-ring at
+    # reference cadence and halves the per-frame projection-match matrix
+    max_local_mappoints: int = 8192
     max_local_keyframes: int = 64
 
 
@@ -204,9 +206,13 @@ class BAConfig:
     # Optimizer.cc:225-442; our LM with step acceptance needs fewer — ATE
     # measured flat from (3,5) down to (2,3) while BA time drops ~40%)
     local_ba_phase_iters: Tuple[int, int] = (2, 3)
-    max_local_ba_kfs: int = 16    # free keyframes in local BA window
-    max_local_ba_fixed: int = 32  # fixed 2nd-ring anchors
-    local_ba_points: int = 8192   # landmark slots in the local BA window
+    # local-BA window: the reference frees the full 1-ring (unbounded);
+    # bounded here for static shapes.  12 free + 24 fixed + 4096 landmarks
+    # covers the 1-ring at reference cadence; halving the round-2 window
+    # (16/32/8192) cut BA wall time ~2x with ATE flat on the e2e sequences
+    max_local_ba_kfs: int = 12    # free keyframes in local BA window
+    max_local_ba_fixed: int = 24  # fixed 2nd-ring anchors
+    local_ba_points: int = 4096   # landmark slots in the local BA window
     pcg_iters: int = 40           # CG iterations for the (global) reduced system
     # LM damping: init value; the raise/lower factors (×8 / ×0.5) are fixed
     # tuned constants in solvers.pose_opt, not knobs — the reference delegates
@@ -328,8 +334,13 @@ def _from_reference_yaml(raw: dict) -> SLAMConfig:
         min_th_fast=int(g("ORBExtractor.minThFAST", 7)),
         brief_template_path=tmpl if _os.path.exists(tmpl) else "",
     )
+    # the reference ships MinFrames=0 and relies on its mapper being busy for
+    # several frames to throttle c1b; our mapping completes within ~1 frame,
+    # so a literal 0 would insert keyframes every other frame — map 0 to our
+    # default floor (an explicit nonzero MinFrames is honoured verbatim)
+    mf = int(g("MinFrames", 0)) or TrackingConfig().min_frames
     tracking = TrackingConfig(
-        max_frames=int(g("MaxFrames", 10)), min_frames=int(g("MinFrames", 0)),
+        max_frames=int(g("MaxFrames", 10)), min_frames=mf,
         th_depth=float(g("ThDepth", 35.0)),
         only_tracking=bool(int(g("OnlyTracking", 0))),
     )

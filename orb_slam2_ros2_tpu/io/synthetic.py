@@ -54,17 +54,20 @@ def _texture(p: jnp.ndarray) -> jnp.ndarray:
     return 255.0 * out / total
 
 
-@partial(jax.jit, static_argnames=("h", "w", "box_scale"))
+@partial(jax.jit, static_argnames=("h", "w", "box_scale", "sky"))
 def render(
     K_inv: jnp.ndarray, Twc: jnp.ndarray, h: int, w: int,
-    box_scale: float = 1.0,
+    box_scale: float = 1.0, sky: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render (image [h, w] f32 in [0,255], depth [h, w] f32 in camera z).
 
     ``box_scale`` widens the box's x/y extents (z unchanged): 1.0 is the
     close-quarters default; ~1.6 matches KITTI-00's depth statistics
     (building facades 10–30 m) so the KF-cadence logic sees a KITTI-like
-    close-point distribution."""
+    close-point distribution.  ``sky=True`` renders far level-or-upward
+    geometry featureless (KITTI: ~40% of features have no stereo depth;
+    a fully-enclosed textured box gives depth to ~everything, which inflates
+    the mature-point counts the keyframe-cadence ratio divides by)."""
     us = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     vs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     pix = jnp.stack([us, vs, jnp.ones_like(us)], axis=-1)
@@ -87,13 +90,17 @@ def render(
 
     hit = origin + t_best[..., None] * rays_w
     img = _texture(hit)
+    depth = t_best * rays_c[..., 2]  # camera-frame z = t * (unit-z component)
+    if sky:
+        vs_f = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        far = (depth > 60.0) & (rays_w[..., 1] < 0.03)
+        img = jnp.where(far, 96.0 + 40.0 * vs_f / h, img)
     # Optical PSF: real cameras never deliver razor-sharp block edges.  Without
     # this blur the SAD sub-pixel refinement pixel-locks on the aliased texture
     # and stereo depth develops a camera-position-dependent bias.
     from ..ops.pyramid import gaussian_blur
 
     img = gaussian_blur(img, ksize=5, sigma=1.0)
-    depth = t_best * rays_c[..., 2]  # camera-frame z = t * (unit-z component)
     return img, depth
 
 
@@ -255,7 +262,8 @@ class SyntheticStereoDataset:
     """
 
     def __init__(self, cam_cfg, n_frames: int = 100, speed: float = 0.8,
-                 circle: bool = False, box_scale: float = 1.0):
+                 circle: bool = False, box_scale: float = 1.0,
+                 sky: bool = False):
         self.cfg = cam_cfg
         self.poses_wc = circle_trajectory(n_frames) if circle else trajectory(n_frames, speed)
         K = np.array(
@@ -265,6 +273,7 @@ class SyntheticStereoDataset:
         self.K_inv = jnp.asarray(np.linalg.inv(K))
         self.n_frames = n_frames
         self.box_scale = box_scale
+        self.sky = sky
 
     def __len__(self):
         return self.n_frames
@@ -273,11 +282,11 @@ class SyntheticStereoDataset:
         """Returns (img_left, img_right, Twc_gt) — images [H, W] f32."""
         Twc = jnp.asarray(self.poses_wc[i])
         imgL, _ = render(self.K_inv, Twc, self.cfg.height, self.cfg.width,
-                         self.box_scale)
+                         self.box_scale, self.sky)
         right_offset = jnp.eye(4).at[0, 3].set(self.cfg.baseline)
         Twc_r = Twc @ right_offset
         imgR, _ = render(self.K_inv, Twc_r, self.cfg.height, self.cfg.width,
-                         self.box_scale)
+                         self.box_scale, self.sky)
         return imgL, imgR, np.asarray(self.poses_wc[i])
 
     def frame_with_depth(self, i: int):

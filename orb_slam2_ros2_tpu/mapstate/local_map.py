@@ -82,8 +82,8 @@ def local_map_snapshot(
     max_kfs: int = 64, max_mps: int = 16384,
 ) -> LocalMap:
     """Collect the local map around ``kf_id`` into fixed-size arrays."""
-    _, kf_mask = covisible_kfs(state, kf_id, n_first, n_second)
-    return _snapshot_from_mask(state, kf_mask, max_kfs=max_kfs, max_mps=max_mps)
+    ring1, kf_mask = covisible_kfs(state, kf_id, n_first, n_second)
+    return _snapshot_from_mask(state, ring1, kf_mask, max_kfs=max_kfs, max_mps=max_mps)
 
 
 def local_map_snapshot_frame(
@@ -96,12 +96,13 @@ def local_map_snapshot_frame(
     snapshot centered on a single keyframe goes stale between sparse
     keyframes under rotation; this one follows the frame."""
     w = frame_observer_weights(state, mp_ids)
-    _, kf_mask = _rings_from_weights(state, w, n_first, n_second)
-    return _snapshot_from_mask(state, kf_mask, max_kfs=max_kfs, max_mps=max_mps)
+    ring1, kf_mask = _rings_from_weights(state, w, n_first, n_second)
+    return _snapshot_from_mask(state, ring1, kf_mask, max_kfs=max_kfs, max_mps=max_mps)
 
 
 def _snapshot_from_mask(
-    state: MapState, kf_mask: jnp.ndarray, *, max_kfs: int, max_mps: int
+    state: MapState, ring1: jnp.ndarray, kf_mask: jnp.ndarray,
+    *, max_kfs: int, max_mps: int
 ) -> LocalMap:
     K = state.kf_capacity
     # bounded local KF id list
@@ -116,9 +117,18 @@ def _snapshot_from_mask(
     mp_mask = jnp.zeros((M,), bool)
     mp_mask = mp_mask.at[jnp.where(rows >= 0, rows, M).reshape(-1)].set(True, mode="drop")
     mp_mask = mp_mask & state.mp_valid
+    # ring-1 points (directly observed by the frame's/KF's best covisible
+    # keyframes) must survive the capacity cap: when the camera revisits the
+    # START of the map, the visible points carry the OLDEST ids — a pure
+    # recency preference evicted exactly them and tracking collapsed
+    r1_rows = state.kf_mp_idx[jnp.clip(ring1, 0, K - 1)]
+    r1_rows = jnp.where((ring1 >= 0)[:, None], r1_rows, -1)
+    r1_mask = jnp.zeros((M,), bool)
+    r1_mask = r1_mask.at[jnp.where(r1_rows >= 0, r1_rows, M).reshape(-1)].set(True, mode="drop")
 
-    # compact to max_mps slots: prefer recently created points (higher id)
+    # compact to max_mps slots: ring-1 membership first, then recency
     score = jnp.where(mp_mask, 1 + jnp.arange(M, dtype=jnp.int32), 0)
+    score = jnp.where(mp_mask & r1_mask, score + M, score)
     top, mp_ids = topk_bounded(score, max_mps)
     ok = top > 0
     mp_ids = jnp.where(ok, mp_ids, -1)

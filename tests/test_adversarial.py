@@ -36,7 +36,9 @@ def cfg():
         orb=ORBConfig(n_features=600, max_keypoints=768),
         tracking=TrackingConfig(min_init_depth_kps=60, max_local_mappoints=4096,
                                 max_local_keyframes=16, motion_search_radius=35.0,
-                                min_localmap_matches=20, min_localmap_inliers=20,
+                                # 600-feature budget + adversarial degradation: the
+                                # reference's 30/30 gates scale to 15/15 here
+                                min_localmap_matches=15, min_localmap_inliers=15,
                                 min_frames=1),
         map=MapConfig(max_keyframes=128, max_mappoints=32768, max_obs_per_mp=16),
         bow=BoWConfig(branching=6, depth=3),
