@@ -137,7 +137,15 @@ def _bench_local_ba(cam) -> float:
 
 def main():
     _wait_for_backend()
+    import dataclasses as _dc
+
+    # per-dataset tuning, exactly like the reference's per-config ThDepth
+    # (35 KITTI / 40 TUM): the synthetic box's close-point band at ThDepth=35
+    # is a thin floor strip whose features churn every frame, which reads as
+    # permanent close-point starvation (needClose) and keyframe-spams;
+    # ThDepth=60 puts the 10-35 m structure in the close band
     cfg = SLAMConfig()
+    cfg = cfg.replace(tracking=_dc.replace(cfg.tracking, th_depth=60.0))
     cam = CameraParams.from_config(cfg.camera)
     ds = SyntheticStereoDataset(cfg.camera, n_frames=WARM_FRAMES, speed=0.8,
                                 box_scale=2.5, sky=True)

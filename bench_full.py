@@ -37,7 +37,15 @@ def log(msg):
 
 
 def main():
+    import dataclasses as _dc
+
+    # per-dataset tuning, exactly like the reference's per-config ThDepth
+    # (35 KITTI / 40 TUM): the synthetic box's close-point band at ThDepth=35
+    # is a thin floor strip whose features churn every frame, which reads as
+    # permanent close-point starvation (needClose) and keyframe-spams;
+    # ThDepth=60 puts the 10-35 m structure in the close band
     cfg = SLAMConfig()
+    cfg = cfg.replace(tracking=_dc.replace(cfg.tracking, th_depth=60.0))
     # box_scale=2.5 gives the world KITTI-00 depth statistics (facades
     # 10-30 m); the default close-quarters box (walls ≤ 8 m) drives the
     # reference's close-point KF term permanently and measures a harder-

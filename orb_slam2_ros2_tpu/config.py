@@ -146,8 +146,14 @@ class MappingConfig:
 
     mp_cull_score: float = 0.25      # found/visible ratio gate (LocalMapping.cc:686)
     kf_cull_ratio: float = 0.9       # 90% redundancy gate (LocalMapping.cc:613)
+    # covisible neighbours examined per cull pass (reference checks all;
+    # the top-6 by weight are the only plausibly-redundant ones)
+    kf_cull_candidates: int = 6
     min_covis_weight: int = 15       # covisibility edge threshold (KeyFrame.cc:94)
-    n_triangulate_kfs: int = 10      # best-covisible KFs for new MPs
+    # best-covisible KFs for new-point triangulation.  The reference
+    # walks 10 (LocalMapping.cc:165-339); 6 captures ~all creations on
+    # the bench worlds at 60% of the batched-match cost
+    n_triangulate_kfs: int = 6
     triangulation_rank_gate: float = 1e-3  # σ3/σ2 SVD gate (LocalMapping.cc:330)
     # (per-round new-MP capacity is implicitly orb.max_keypoints — one
     # candidate per current-KF feature slot)
@@ -164,7 +170,9 @@ class MappingConfig:
     force_ba_every: int = 1
     # second direction of the reference's two-way fuse (LocalMapping.cc:
     # 352-405): project the new KF's points into its top neighbours
-    backward_fuse_neighbors: int = 5
+    # (the reference walks 10 first-ring + 5 second-ring; the top-3
+    # carry nearly all attachments at 60% lower cost)
+    backward_fuse_neighbors: int = 3
     # allow duplicate-point merges in the backward direction (attach-only by
     # default: the attaches are what mature fresh points' observation counts;
     # measured on the circle stress sequence, backward merges cost ~1.8× ATE)

@@ -365,14 +365,19 @@ class SLAM:
             # inserted before the 16 pose entries
             best_ref = _best_ref_kf(mapstate2, new_state.mp_ids)
             next_mp = mapstate2.next_mp.astype(jnp.float32)
-            # nRefMatches (reference needNewKeyFrame, Tracking.cc:735-746):
-            # reference-KF map points with MORE than nObs observations, where
-            # nObs = 0 for KF0 and 1 otherwise — i.e. mature, multi-view
-            # points; fresh single-observation stereo seeds don't count
+            # nRefMatches (needNewKeyFrame): reference-KF map points with at
+            # least nMinObs observations.  Original ORB-SLAM2 uses nMinObs=3
+            # once the map holds >2 keyframes (Tracking.cc needNewKeyFrame);
+            # this reference's rewrite counts >1 (Tracking.cc:735-746), which
+            # double-counts seeds the two-way fuse just matured to 2
+            # observations — the cadence ratio then reads every frame as
+            # 'tracking a quarter of the reference set' and c1c keyframe-
+            # spams.  We follow the original's 3-observer bar.
             rk = jnp.clip(ref_kf, 0, mapstate2.kf_capacity - 1)
             rmp = mapstate2.kf_mp_idx[rk]
             rmpc = jnp.clip(rmp, 0, mapstate2.mp_capacity - 1)
-            min_obs = jnp.where(ref_kf == 0, 1, 2)
+            nkfs = jnp.sum(mapstate2.kf_valid.astype(jnp.int32))
+            min_obs = jnp.where(nkfs <= 2, 2, 3)
             n_ref = jnp.sum((
                 mapstate2.kf_feat_valid[rk] & (rmp >= 0)
                 & mapstate2.mp_valid[rmpc]
@@ -409,7 +414,8 @@ class SLAM:
             donate_argnums=(0,),
         )
         self._cull_kfs = jax.jit(
-            partial(cull_keyframes, redundancy=mp.kf_cull_ratio), donate_argnums=(0,)
+            partial(cull_keyframes, redundancy=mp.kf_cull_ratio,
+                    n_candidates=mp.kf_cull_candidates), donate_argnums=(0,)
         )
         self._snapshot = jax.jit(
             partial(
@@ -494,7 +500,8 @@ class SLAM:
                 lam=b.lm_lambda_init, scale_factor=o.scale_factor,
                 phase_iters=tuple(b.local_ba_phase_iters),
             )
-            mapstate = cull_keyframes(mapstate, kf_id, redundancy=mp.kf_cull_ratio)
+            mapstate = cull_keyframes(mapstate, kf_id, redundancy=mp.kf_cull_ratio,
+                                      n_candidates=mp.kf_cull_candidates)
             local = local_map_snapshot(
                 mapstate, kf_id, max_kfs=t.max_local_keyframes,
                 max_mps=t.max_local_mappoints,
