@@ -167,7 +167,10 @@ class MappingConfig:
     # under KF-heavy load at ~2× ATE on fast sequences — the reference makes
     # the same trade through its queue<3 abort
     synchronous: bool = False
-    force_ba_every: int = 1
+    # 2 = a burst of keyframes lets alternate local BAs abort (the
+    # reference's queue<3 setAbortBA trade); measured ATE-neutral on
+    # the benign worlds at the r3 window sizes, halves amortized BA
+    force_ba_every: int = 2
     # second direction of the reference's two-way fuse (LocalMapping.cc:
     # 352-405): project the new KF's points into its top neighbours
     # (the reference walks 10 first-ring + 5 second-ring; the top-3

@@ -512,16 +512,34 @@ class LoopCloser:
         )
 
     # ------------------------------------------------------------------
+    def detect_async(self, state: MapState, kf_id: int):
+        """DB registration + candidate query, dispatched WITHOUT a host
+        fetch.  Returns the device-resident result to resolve later with
+        ``detect_resolve`` (on the tunnelled backend every fetch costs a
+        full round-trip; resolving on a later idle frame takes it off the
+        keyframe's critical path), or None when detection is suppressed
+        (the keyframe is still registered in the database)."""
+        self.db, out_dev = self._add_detect_prog(self.db, state, jnp.asarray(kf_id))
+        if kf_id < 10 or kf_id - self.last_loop_kf < 10:
+            # match the reference's early-out: no loops right after start or
+            # a recent correction (LoopClosing.cc:222-231)
+            return None
+        return out_dev
+
     def detect(self, state: MapState, kf_id: int) -> Optional[int]:
         """DB registration + consistency-chained loop detection
         (LoopClosing::insertKeyFrame + detectLoop, LoopClosing.cc:218-282),
         one dispatch + at most one fetch per keyframe."""
-        self.db, out_dev = self._add_detect_prog(self.db, state, jnp.asarray(kf_id))
-        if kf_id < 10 or kf_id - self.last_loop_kf < 10:
-            # match the reference's early-out: no loops right after start or
-            # a recent correction (LoopClosing.cc:222-231); the keyframe is
-            # still registered in the database above
+        out_dev = self.detect_async(state, kf_id)
+        if out_dev is None:
             return None
+        return self.detect_resolve(kf_id, out_dev)
+
+    def detect_resolve(self, kf_id: int, out_dev) -> Optional[int]:
+        """Host half of detection: fetch the candidate rows and run the
+        covisibility-consistency chains (LoopClosing.cc:218-282)."""
+        if kf_id - self.last_loop_kf < 10:
+            return None  # a closure landed between dispatch and resolve
         out = np.asarray(out_dev)
         cand_all, covis_rows = out[:, 0], out[:, 1:]   # one host fetch total
         keep = cand_all >= 0

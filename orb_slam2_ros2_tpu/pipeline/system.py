@@ -141,9 +141,12 @@ def slam_track_step(
         is_stereo=cur.right_u[c1] > 0,
         valid=m1.found,
     )
+    # stage-1 runs HALF the χ²-gating rounds: its pose only seeds the
+    # stage-2 projection search (r=3 px tolerance); stage-3 below is the
+    # full-accuracy refinement at the configured rounds
     Tcw1, inl1, n_in1 = optimize_pose(
         cam, Tcw_pred, obs1, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
-        rounds=pose_rounds, iters_per_round=pose_iters,
+        rounds=max(pose_rounds // 2, 1), iters_per_round=pose_iters,
     )
     n_m1 = jnp.sum(m1.found.astype(jnp.int32))
 
@@ -539,6 +542,10 @@ class SLAM:
         # background global BA in flight (chunked across idle frames — the
         # reference's transient GBA thread, LoopClosing.cc:87-169)
         self._pending_gba = None
+        # loop detections dispatched but not yet fetched: (kf_id, device
+        # result) FIFO — resolving on a later idle frame keeps the tunnel
+        # round-trip off the keyframe's critical path
+        self._pending_loops: list = []
         # §5.1 tracing: set True to record per-stage wall times (adds a sync
         # per stage; replaces the reference's EstimatePose ms logging,
         # System.h:55-61)
@@ -672,10 +679,19 @@ class SLAM:
             # mapper idle: run the deferred BA/culling/loop tail
             # (reference LocalMapping.cc:96-109)
             self._run_deferred_mapping()
+        elif self._pending_loops:
+            # fetch + resolve one dispatched loop detection (the reference's
+            # LoopClosing thread draining its queue, LoopClosing.cc:32-50)
+            self._resolve_pending_loop()
         elif self._pending_gba is not None:
             # fully idle: advance the background global BA by one chunk
             # (the reference's transient GBA thread, LoopClosing.cc:92-169)
             self._step_pending_gba()
+        if len(self._pending_loops) > 2:
+            # keyframe-heavy stretches leave no idle frames: bound the
+            # detection lag like the reference's blocking queue
+            # (LoopClosing.cc:548-552) by force-resolving the oldest
+            self._resolve_pending_loop()
 
         self.trajectory.append((fid, pose))
         return pose, stats
@@ -967,7 +983,7 @@ class SLAM:
             # receives every KF regardless of BA aborts)
             self.map = self._cull_kfs(self.map, kf_id)
             if self.enable_loop_closing:
-                self._add_kf_to_db(kf_id_i)
+                self._dispatch_loop_detect(kf_id_i)
             self._pending_kf = None
             self._kfs_since_ba += 1
         else:
@@ -984,17 +1000,8 @@ class SLAM:
         self.map, self.local, kf_Tcw_before = self._timed(
             "map_tail", self._map_tail, self.map, kf_id, self.cam
         )
-        closed = False
         if self.enable_loop_closing:
-            closed = self._timed("loop", self._loop_close, kf_id_i)
-        if closed:
-            # refresh the snapshot on the corrected map and re-anchor the
-            # tracker's pose chain by the correction applied to its reference
-            # KF (the loop/GBA path can move it arbitrarily far)
-            self.local = self._snapshot(self.map, jnp.asarray(kf_id))
-            delta = se3.inverse(kf_Tcw_before) @ self.map.kf_Tcw[kf_id]
-            self.last = self.last._replace(Tcw=self.last.Tcw @ delta)
-            self.velocity = jnp.eye(4, dtype=jnp.float32)
+            self._dispatch_loop_detect(kf_id_i)
 
     # ------------------------------------------------------------------
     def _ensure_loop_closer(self, kf_id: int) -> None:
@@ -1064,18 +1071,28 @@ class SLAM:
         valid = np.asarray(self.map.kf_feat_valid[kf_id])
         return V.train_vocabulary(desc[valid], branching=b.branching, depth=b.depth)
 
-    def _loop_close(self, kf_id: int):
-        """Loop-closing stage (the reference's LoopClosing thread,
-        src/LoopClosing.cc:53-90).  detect() also registers the keyframe in
-        the database (one fused dispatch).  The global BA is NOT run here:
-        the correction applies group propagation + fuse + essential graph
-        synchronously, then schedules the GBA as background chunks over the
-        following idle frames (the reference's transient GBA thread +
-        mTcwGBA commit, LoopClosing.cc:87-169)."""
+    def _dispatch_loop_detect(self, kf_id: int) -> None:
+        """Register the keyframe and dispatch loop detection WITHOUT a host
+        fetch (the reference's LoopClosing::insertKeyFrame handing work to
+        its thread, LoopClosing.cc:548-552).  The device result lands in the
+        pending FIFO; a later idle frame fetches and resolves it — on the
+        tunnelled backend the fetch costs a full round-trip that must stay
+        off the keyframe's critical path."""
+        self._ensure_loop_closer(kf_id)
+        out_dev = self.loop_closer.detect_async(self.map, kf_id)
+        if out_dev is not None:
+            self._pending_loops.append((kf_id, out_dev))
+
+    def _resolve_pending_loop(self):
+        """Fetch + resolve the oldest dispatched detection; on a verified
+        loop run the correction (group propagation + fuse + essential graph)
+        and schedule the background GBA (the reference's LoopClosing thread
+        runOnce, src/LoopClosing.cc:53-90 + the transient GBA thread +
+        mTcwGBA commit, :87-169)."""
         from ..solvers.global_ba import start_global_ba
 
-        self._ensure_loop_closer(kf_id)
-        cand = self.loop_closer.detect(self.map, kf_id)
+        kf_id, out_dev = self._pending_loops.pop(0)
+        cand = self.loop_closer.detect_resolve(kf_id, out_dev)
         if cand is None:
             return False
         key = jax.random.PRNGKey(kf_id)
@@ -1086,12 +1103,21 @@ class SLAM:
         # a GBA already in flight is killed by the new closure, exactly like
         # the reference's isRunningGBA → stop + restart (LoopClosing.cc:87)
         self._pending_gba = None
+        ref_before = self.map.kf_Tcw[self.ref_kf]
         self.map = self.loop_closer.correct(
             self.map, self.cam, kf_id, cand, S12, matched_mp, group,
             run_gba=False, mesh=self.mesh,
         )
         self._pending_gba = start_global_ba(self.map, self.cfg.orb.scale_factor)
         self.loops_closed = getattr(self, "loops_closed", 0) + 1
+        # refresh the snapshot on the corrected map and re-anchor the
+        # tracker's pose chain by the correction applied to its reference
+        # KF (the essential graph can move it arbitrarily far)
+        self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
+        if self.last is not None:
+            delta = se3.inverse(ref_before) @ self.map.kf_Tcw[self.ref_kf]
+            self.last = self.last._replace(Tcw=self.last.Tcw @ delta)
+            self.velocity = jnp.eye(4, dtype=jnp.float32)
         return True
 
     def _step_pending_gba(self):
@@ -1140,6 +1166,8 @@ class SLAM:
     def flush(self) -> None:
         """Complete any deferred mapping work (end-of-sequence / shutdown)."""
         self._run_deferred_mapping()
+        while self._pending_loops:
+            self._resolve_pending_loop()
         while self._pending_gba is not None:
             self._step_pending_gba()
 

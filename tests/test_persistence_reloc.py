@@ -47,7 +47,7 @@ def built(cfg, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("maps") / "m")
     # force vocabulary/loop-closer existence for the save
     if slam.loop_closer is None:
-        slam._loop_close(slam.ref_kf)
+        slam._ensure_loop_closer(slam.ref_kf)
     slam.save(path)
     return path, slam, ds, gts
 

@@ -107,27 +107,27 @@ def loop_precision_recall(slam, est, gt, closures, frames_per_lap, n_frames):
     return precision, recall, n_acc, tp, n_laps, laps_hit
 
 
-def reloc_success(slam, ds, est, n_frames, n_attempts=12, seed=3):
+def reloc_success(slam, ds, frames_per_lap, n_frames, n_attempts=12, seed=3):
     """Kidnapping test: force LOST, feed a frame sampled around the lap,
-    count successful relocalizations (state returns to OK with a pose within
-    2 m of ground truth)."""
+    count relocalizations that matched the RIGHT PLACE — the matched
+    keyframe's lap angle agrees with the query frame's (robust to map-frame
+    corrections committed after the run)."""
     from orb_slam2_ros2_tpu.pipeline.tracking import TrackState
 
     rng = np.random.default_rng(seed)
+    kf_frame_id = np.asarray(slam.map.kf_frame_id)
     ok = 0
     idxs = rng.integers(n_frames // 4, n_frames, n_attempts)
     for i in idxs:
         slam.state = TrackState.LOST
-        if est[int(i)] is None:
-            continue
         imgL, imgR, _ = ds.frame(int(i))
         Tcw, stats = slam.track(imgL, imgR)
-        if Tcw is None:
+        if Tcw is None or "reloc_kf" not in stats:
             continue
-        # estimate-frame comparison: GT lives in the box frame, offset
-        # by the first camera pose — a GT comparison reads ~11 m always
-        err = np.linalg.norm(np.linalg.inv(Tcw)[:3, 3] - est[int(i)][:3, 3])
-        ok += err < 2.0
+        src_frame = int(kf_frame_id[stats["reloc_kf"]])
+        d = abs(src_frame - int(i)) % frames_per_lap
+        d = min(d, frames_per_lap - d)
+        ok += d <= frames_per_lap // 8
     return ok / n_attempts, n_attempts
 
 
@@ -176,7 +176,7 @@ def main():
 
     # ---- relocalization under kidnapping ----------------------------------
     log("reloc kidnapping test…")
-    rate, n_att = reloc_success(slam_a, ds_a, est, args.frames)
+    rate, n_att = reloc_success(slam_a, ds_a, args.lap, args.frames)
     results["reloc"] = dict(success_rate=round(rate, 3), attempts=n_att)
     log(f"reloc: {results['reloc']}")
 
