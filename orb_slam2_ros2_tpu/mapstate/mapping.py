@@ -418,7 +418,7 @@ def fuse_into_keyframe(
     n_levels: int = 8,
     th: float = 3.0,
     max_dist: int = 50,
-    max_fuse: int = 4096,
+    max_fuse: int = 2048,
 ) -> MapState:
     """Project neighbouring keyframes' map points into ``kf_id`` and either
     attach them to unmatched features or merge duplicates — the reference's
@@ -430,7 +430,9 @@ def fuse_into_keyframe(
     (reference MapPoint::replace semantics, MapPoint.cc:213-233) — here the
     loser is invalidated and its slots are repointed.
     """
-    # candidate set: map points of the 2-ring neighbourhood (bounded)
+    # candidate set: map points of the 2-ring neighbourhood, bounded to the
+    # 2048 most relevant (ring-1 first) — covers the overlap region of the
+    # new KF at half the projection-match cost of the old 4096 cap
     from .local_map import local_map_snapshot
 
     local = local_map_snapshot(state, kf_id, n_first=10, n_second=5, max_kfs=32, max_mps=max_fuse)

@@ -101,13 +101,15 @@ def loop_precision_recall(slam, est, gt, closures, frames_per_lap, n_frames):
             tp += 1
     n_acc = len(closures)
     precision = tp / n_acc if n_acc else float("nan")
-    n_laps = max(n_frames // frames_per_lap - 1, 0)  # revisit laps
+    # revisit windows = distinct lap indices reachable after the first lap
+    # (covers partial final laps)
+    windows = {i // frames_per_lap for i in range(frames_per_lap, n_frames)}
     laps_hit = len({i // frames_per_lap for i in closures if i >= frames_per_lap})
-    recall = laps_hit / n_laps if n_laps else float("nan")
-    return precision, recall, n_acc, tp, n_laps, laps_hit
+    recall = laps_hit / len(windows) if windows else float("nan")
+    return precision, recall, n_acc, tp, len(windows), laps_hit
 
 
-def reloc_success(slam, ds, frames_per_lap, n_frames, n_attempts=12, seed=3):
+def reloc_success(slam, ds, frames_per_lap, n_frames, est, n_attempts=12, seed=3):
     """Kidnapping test: force LOST, feed a frame sampled around the lap,
     count relocalizations that matched the RIGHT PLACE — the matched
     keyframe's lap angle agrees with the query frame's (robust to map-frame
@@ -117,7 +119,11 @@ def reloc_success(slam, ds, frames_per_lap, n_frames, n_attempts=12, seed=3):
     rng = np.random.default_rng(seed)
     kf_frame_id = np.asarray(slam.map.kf_frame_id)
     ok = 0
-    idxs = rng.integers(n_frames // 4, n_frames, n_attempts)
+    # sample only frames the run actually tracked (a frame the system never
+    # localized has no mapped counterpart to relocalize against)
+    pool = np.asarray([i for i in range(n_frames // 4, n_frames)
+                       if est[i] is not None], np.int64)
+    idxs = rng.choice(pool, size=min(n_attempts, len(pool)), replace=False)
     for i in idxs:
         slam.state = TrackState.LOST
         imgL, imgR, _ = ds.frame(int(i))
@@ -176,7 +182,7 @@ def main():
 
     # ---- relocalization under kidnapping ----------------------------------
     log("reloc kidnapping test…")
-    rate, n_att = reloc_success(slam_a, ds_a, args.lap, args.frames)
+    rate, n_att = reloc_success(slam_a, ds_a, args.lap, args.frames, est)
     results["reloc"] = dict(success_rate=round(rate, 3), attempts=n_att)
     log(f"reloc: {results['reloc']}")
 
