@@ -43,40 +43,47 @@ def main():
     log("rendered")
 
     slam = SLAM(cfg)
-    closure_frame = None
+    closures = []
     prev_loops = 0
-    for i in range(N):
-        Tcw, stats = slam.track(*frames[i])
+    period = N - 4  # circle_trajectory revisits after N-4 frames
+    # TWO laps: the first closure pays the one-off executable-load of the
+    # correction/GBA programs over the tunnel (tens of seconds, a process
+    # artifact — a local host mmaps the persistent cache); the SECOND
+    # closure measures the steady-state spike the design actually has
+    for i in range(2 * period):
+        j = i if i < N else ((i - 4) % period) + 4
+        Tcw, stats = slam.track(*frames[j])
         loops = getattr(slam, "loops_closed", 0)
         if loops > prev_loops:
-            closure_frame = i
+            closures.append(i)
             prev_loops = loops
-    # drain any remaining background-GBA chunks through timed extra frames:
-    # replay the last few frames so the chunks land inside tracked frames
-    extra0 = len(slam.frame_times_ms)
-    j = 4
-    while slam._pending_gba is not None and j < 40:
-        slam.track(*frames[j])
-        j += 1
-    log(f"{slam.n_keyframes} kfs, closure at frame {closure_frame}, "
-        f"{j - 4} extra frames drained the GBA")
+    # drain any remaining background-GBA chunks through timed extra frames
+    k = 4
+    while slam._pending_gba is not None and k < 40:
+        slam.track(*frames[k])
+        k += 1
+    log(f"{slam.n_keyframes} kfs, closures at {closures}, "
+        f"{k - 4} extra frames drained the GBA")
 
     ft = np.asarray(slam.frame_times_ms)
-    if closure_frame is None:
+    if not closures:
         print(json.dumps({"metric": "post_loop_frame_spike", "value": None,
                           "detail": "no loop closed"}))
         return
-    post = ft[closure_frame:]
     med = float(np.median(ft[10:]))
+    last = closures[-1]
+    post = ft[last:]
+    first_post = ft[closures[0]:closures[0] + 20]
     out = {
         "metric": "post_loop_frame_spike_ratio",
         "value": round(float(post.max()) / med, 2),
-        "unit": "max_post_closure / median_frame_time",
+        "unit": "max_after_last_closure / median_frame_time",
         "detail": {
             "median_frame_ms": round(med, 1),
-            "max_post_closure_ms": round(float(post.max()), 1),
-            "p99_post_closure_ms": round(float(np.percentile(post, 99)), 1),
-            "closure_frame": closure_frame,
+            "max_after_last_closure_ms": round(float(post.max()), 1),
+            "p99_after_last_closure_ms": round(float(np.percentile(post, 99)), 1),
+            "first_closure_max_ms": round(float(first_post.max()), 1),
+            "closures": closures,
             "frames": int(len(ft)),
             "device": str(jax.devices()[0]),
         },

@@ -429,6 +429,14 @@ class LoopCloser:
         self._add_detect_prog = jax.jit(_add_and_detect_program, donate_argnums=(0,))
         self._match = jax.jit(partial(match_mappoint_features))
         self._pose_graph = jax.jit(partial(optimize_pose_graph, iters=20))
+        # the whole essential-graph stage as ONE program: its body is ~200
+        # jnp ops, and eagerly each op is a separate dispatch — on the
+        # tunnelled backend that is ~200 round-trips (seconds) per closure
+        self._essential = jax.jit(partial(
+            optimize_essential,
+            essential_weight=cfg.loop.essential_graph_weight,
+            pose_graph_fn=partial(optimize_pose_graph, iters=20),
+        ))
         o = cfg.orb
         c = cfg.camera
         geom = dict(width=c.width, height=c.height,
@@ -661,10 +669,9 @@ class LoopCloser:
         )
         state = self._fuse_group(state, cam, group, kf_ids)
 
-        state = optimize_essential(
-            state, kf_cur, kf_cand, S12, S_nc, group_mask, pre_conn,
-            essential_weight=self.cfg.loop.essential_graph_weight,
-            pose_graph_fn=self._pose_graph,
+        state = self._essential(
+            state, jnp.asarray(kf_cur), jnp.asarray(kf_cand), S12, S_nc,
+            group_mask, pre_conn,
         )
         if run_gba:
             state = global_ba(
