@@ -78,7 +78,7 @@ def global_ba(
     scale_factor: float = 1.2,
     phase_iters=(5, 5),
     pcg_iters: int = 40,
-    lam: float = 1e-3,
+    lam: float = 0.1,
     mesh=None,
     axis: str = "ba",
 ) -> MapState:
@@ -166,7 +166,7 @@ def step_global_ba(
     *,
     n_iters: int = 1,
     pcg_iters: int = 40,
-    lam: float = 1e-3,
+    lam: float = 0.1,
     chi2_mono: float = 5.991,
     chi2_stereo: float = 7.815,
     robust_after: int = 1,

@@ -241,9 +241,50 @@ def _gn_step(cam, prob: GlobalBAProblem, Tcw, ptsT, pm_gate, cm_gate,
     dx_p = edge_fm.sym3_apply(Wp6, b_p3 + tp)                # [3, M]
     dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
 
-    Tcw_new = se3.normalize(se3.exp(dx_c.T) @ Tcw)
-    ptsT_new = ptsT - dx_p
+    def apply(s):
+        T = se3.normalize(se3.exp((s * dx_c).T) @ Tcw)
+        return T, ptsT - s * dx_p
+
+    # ---- monotone step acceptance (backtracking line search) -------------
+    # Damped GN with a fixed lam can overshoot on ill-conditioned maps, and
+    # unconverged float32 PCG makes the overshoot run-to-run noisy (sharded
+    # vs unsharded compilations land visibly apart).  Accepting the best of
+    # {full step, quarter step, hold} by the gated Huber cost makes every GN
+    # step monotone in the robust objective, so neither path can degrade the
+    # map.  Costs two extra point-major edge passes per step (~5% of the
+    # PCG work).  The decision scalars are psum-reduced → identical on every
+    # shard.
+    c0 = _robust_cost(cam, prob, Tcw, ptsT, pm_gate, pm_th, axis)
+    T1, p1 = apply(1.0)
+    T2, p2 = apply(0.25)
+    c1 = _robust_cost(cam, prob, T1, p1, pm_gate, pm_th, axis)
+    c2 = _robust_cost(cam, prob, T2, p2, pm_gate, pm_th, axis)
+    use1 = (c1 <= c2) & (c1 < c0)
+    use2 = jnp.logical_not(use1) & (c2 < c0)
+    Tcw_new = jnp.where(use1, T1, jnp.where(use2, T2, Tcw))
+    ptsT_new = jnp.where(use1, p1, jnp.where(use2, p2, ptsT))
     return Tcw_new, ptsT_new
+
+
+def _robust_cost(cam, prob: GlobalBAProblem, Tcw, ptsT, pm_gate, pm_th,
+                 axis: Optional[str]):
+    """Gated Huber total cost over the point-major edge view (each edge
+    appears exactly once).  Replicated scalar: psum over the mesh axis."""
+    chi2 = _pm_terms(cam, prob, Tcw, ptsT).chi2
+    rho = jnp.where(
+        chi2 <= pm_th,
+        chi2,
+        2.0 * jnp.sqrt(pm_th * jnp.maximum(chi2, 0.0)) - pm_th,
+    )
+    # cap at the 1e4·th weight cutoff (_weights zeroes those edges, so they
+    # carry no gradient; letting their cost float would let a few astronomic
+    # outliers both dominate the float32 sum and veto steps the solver can't
+    # influence)
+    rho = jnp.minimum(rho, 199.0 * pm_th)
+    c = jnp.sum(jnp.where(pm_gate & prob.pm_valid, rho, 0.0))
+    if axis is not None:
+        c = jax.lax.psum(c, axis)
+    return c
 
 
 def _solve_global(cam, prob: GlobalBAProblem, *, chi2_mono, chi2_stereo,
@@ -276,6 +317,14 @@ def _solve_global(cam, prob: GlobalBAProblem, *, chi2_mono, chi2_stereo,
     return Tcw, ptsT.T, pm_gate
 
 
+# NOTE on damping: lam=0.1 matters even though _gn_step now has backtracking
+# acceptance — at 1e-3 a map holding far-field stereo seeds (100 m+ points
+# with metres of depth noise) overshoots so badly that most steps are
+# rejected and the solve stalls (measured pre-acceptance: median reprojection
+# chi2 74 -> 1315 at lam=1e-3 vs 74 -> 0.26 at lam=0.1 on a live loop-closed
+# map); lam in [0.1, 1.0] is a wide safe plateau where full steps accept.
+
+
 def global_ba_phase(
     cam: CameraParams,
     prob: GlobalBAProblem,
@@ -286,7 +335,7 @@ def global_ba_phase(
     chi2_stereo: float = 7.815,
     n_iters: int = 1,
     pcg_iters: int = 40,
-    lam: float = 1e-3,
+    lam: float = 0.1,
     robust_gate: bool = True,
     axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -331,7 +380,7 @@ def solve_global_ba(
     chi2_stereo: float = 7.815,
     phase_iters: Tuple[int, int] = (5, 5),
     pcg_iters: int = 40,
-    lam: float = 1e-3,
+    lam: float = 0.1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-phase robust global BA (gate between phases, mirroring the
     reference's 10-iteration global g2o run, Optimizer.cc:934-1043).
@@ -355,7 +404,7 @@ def solve_global_ba_sharded(
     chi2_stereo: float = 7.815,
     phase_iters: Tuple[int, int] = (5, 5),
     pcg_iters: int = 40,
-    lam: float = 1e-3,
+    lam: float = 0.1,
 ):
     """Distributed global BA: point-major arrays sharded over points,
     camera-major arrays over cameras, reductions stitched with all-gathers
