@@ -160,7 +160,16 @@ def load_dbow_text(path: str) -> Vocabulary:
     with open(path) as f:
         first = f.readline().split()
         k, L = int(first[0]), int(first[1])
-        data = np.loadtxt(f, dtype=np.float64, ndmin=2)
+        try:
+            data = np.loadtxt(f, dtype=np.float64, ndmin=2)
+        except ValueError:
+            # real-world files carry trailing junk / blank-ish lines; fall
+            # back to a tolerant pass that keeps only well-formed node lines
+            # (≥35 numeric tokens), like the original per-line parser
+            f.seek(0)
+            f.readline()
+            rows = [ln.split()[:35] for ln in f if len(ln.split()) >= 35]
+            data = np.asarray(rows, dtype=np.float64).reshape(-1, 35)
     if data.shape[1] < 35:
         raise ValueError(f"malformed DBoW text vocabulary: {data.shape[1]} columns")
     parents = data[:, 0].astype(np.int64)

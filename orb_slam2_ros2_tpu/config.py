@@ -345,11 +345,12 @@ def _from_reference_yaml(raw: dict) -> SLAMConfig:
         min_th_fast=int(g("ORBExtractor.minThFAST", 7)),
         brief_template_path=tmpl if _os.path.exists(tmpl) else "",
     )
-    # the reference ships MinFrames=0 and relies on its mapper being busy for
-    # several frames to throttle c1b; our mapping completes within ~1 frame,
-    # so a literal 0 would insert keyframes every other frame — map 0 to our
-    # default floor (an explicit nonzero MinFrames is honoured verbatim)
-    mf = int(g("MinFrames", 0)) or TrackingConfig().min_frames
+    # a MinFrames key present in the file is honoured verbatim — including an
+    # explicit 0 (reference-faithful cadence, ADVICE r3).  Only an ABSENT key
+    # takes our default floor: the reference ships MinFrames=0 and relies on
+    # its mapper being busy for several frames to throttle c1b; our mapping
+    # completes within ~1 frame, so the unstated default would keyframe-spam.
+    mf = int(g("MinFrames")) if "MinFrames" in raw else TrackingConfig().min_frames
     tracking = TrackingConfig(
         max_frames=int(g("MaxFrames", 10)), min_frames=mf,
         th_depth=float(g("ThDepth", 35.0)),

@@ -91,6 +91,9 @@ def slam_track_step(
     Tcw_pred = velocity @ last.Tcw
 
     # ---------- stage 1: motion-model match against the last frame --------
+    # (jax.named_scope markers carry through to HLO op metadata so a TPU
+    # trace can be aggregated per stage — profile_frame.py)
+    _scope = jax.named_scope
     last_has_mp = last.mp_ids >= 0
     # temp 3D for last frame features without map points (processLastFrame,
     # Tracking.cc:685-694): stereo unprojection at the last pose

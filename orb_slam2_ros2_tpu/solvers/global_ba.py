@@ -179,44 +179,20 @@ def step_global_ba(
     spread over chunks.  Dispatches asynchronously (no host sync)."""
     robust = pending.chunks_done >= robust_after
     if mesh is not None:
-        from functools import partial
-
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
         from .pcg_ba import _pad_global
 
         n_dev = mesh.shape[axis]
-        K0 = int(pending.prob.cam_Tcw.shape[0])
         M0 = int(pending.ptsT.shape[1])
         prob = _pad_global(pending.prob, n_dev)
         Mp = int(prob.pt_pos.shape[0])
         ptsT = jnp.pad(pending.ptsT, ((0, 0), (0, Mp - M0)))
-        in_specs = GlobalBAProblem(
-            cam_Tcw=P(), cam_free=P(),
-            pt_pos=P(axis, None), pt_valid=P(axis),
-            pm_cam=P(None, axis), pm_uv=P(None, None, axis),
-            pm_right_u=P(None, axis), pm_inv_sigma2=P(None, axis),
-            pm_valid=P(None, axis),
-            cm_pt=P(None, axis), cm_uv=P(None, None, axis),
-            cm_right_u=P(None, axis), cm_inv_sigma2=P(None, axis),
-            cm_valid=P(None, axis),
+        # cached per (mesh, axis, solver params): constructing the
+        # shard_map+jit fresh per chunk re-traced every background-GBA chunk
+        # (ADVICE r3 medium)
+        fn = _sharded_step_jit(
+            mesh, axis, n_iters, pcg_iters, lam, chi2_mono, chi2_stereo, robust
         )
-
-        def run(p, T, pts):
-            return global_ba_phase(
-                cam, p, T, pts, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
-                n_iters=n_iters, pcg_iters=pcg_iters, lam=lam,
-                robust_gate=robust, axis=axis,
-            )
-
-        fn = shard_map(
-            run, mesh=mesh,
-            in_specs=(in_specs, P(), P(None, axis)),
-            out_specs=(P(), P(None, axis)),
-            check_vma=False,
-        )
-        Tcw, ptsT = jax.jit(fn)(prob, pending.Tcw, ptsT)
+        Tcw, ptsT = fn(cam, prob, pending.Tcw, ptsT)
         return pending._replace(
             Tcw=Tcw, ptsT=ptsT[:, :M0], chunks_done=pending.chunks_done + 1
         )
@@ -244,11 +220,50 @@ _step_jit = jax.jit(
 )
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _sharded_step_jit(mesh, axis, n_iters, pcg_iters, lam,
+                      chi2_mono, chi2_stereo, robust):
+    """Module-level cache of the sharded GBA chunk program (keyed on mesh +
+    solver statics): every chunk after the first reuses the traced
+    executable — the unsharded path's ``_step_jit`` equivalent."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = GlobalBAProblem(
+        cam_Tcw=P(), cam_free=P(),
+        pt_pos=P(axis, None), pt_valid=P(axis),
+        pm_cam=P(None, axis), pm_uv=P(None, None, axis),
+        pm_right_u=P(None, axis), pm_inv_sigma2=P(None, axis),
+        pm_valid=P(None, axis),
+        cm_pt=P(None, axis), cm_uv=P(None, None, axis),
+        cm_right_u=P(None, axis), cm_inv_sigma2=P(None, axis),
+        cm_valid=P(None, axis),
+    )
+
+    def run(cam, p, T, pts):
+        return global_ba_phase(
+            cam, p, T, pts, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+            n_iters=n_iters, pcg_iters=pcg_iters, lam=lam,
+            robust_gate=robust, axis=axis,
+        )
+
+    fn = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), in_specs, P(), P(None, axis)),
+        out_specs=(P(), P(None, axis)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def commit_global_ba(
     state: MapState,
     pending: PendingGBA,
     *,
-    propagate_depth: int = 4,
+    propagate_depth: int | None = None,
 ) -> MapState:
     """Commit a finished chunked GBA onto the LIVE map (which may hold
     keyframes/map points created after the snapshot) — the reference's
@@ -257,8 +272,9 @@ def commit_global_ba(
     - snapshot keyframes take their optimized poses verbatim;
     - keyframes created during the solve are dragged along their
       spanning-tree parent's correction ``Tcw_child · Twc_parent_old ·
-      Tcw_parent_new`` (bounded-depth propagation — post-snapshot chains
-      longer than ``propagate_depth`` keep their current pose);
+      Tcw_parent_new``; the propagation depth defaults to the number of
+      post-snapshot keyframes (each typically parents the previous one, so
+      chains can be that long — ADVICE r3), overridable for tests;
     - map points the solve optimized take their positions verbatim;
     - all other map points are corrected through their reference keyframe's
       delta ``p' = Twc_new · (Tcw_old · p)``.
@@ -275,16 +291,20 @@ def commit_global_ba(
     if pts_gba.shape[0] < M:
         pts_gba = jnp.pad(pts_gba, ((0, M - pts_gba.shape[0]), (0, 0)))
         in_ba = jnp.pad(in_ba, (0, M - in_ba.shape[0]))
+    if propagate_depth is None:
+        # every post-snapshot KF typically parents the previous one, so the
+        # chain can be as long as the number of KFs created during the solve
+        propagate_depth = max(4, int(state.next_kf) - pending.snap_next_kf)
     return _commit_jit(
         state, Tcw_gba, pts_gba, in_ba,
         jnp.asarray(pending.snap_next_kf, jnp.int32),
         jnp.asarray(pending.snap_next_mp, jnp.int32),
-        propagate_depth=propagate_depth,
+        jnp.asarray(propagate_depth, jnp.int32),
     )
 
 
 def _commit_impl(state: MapState, Tcw_gba, pts_gba, pt_in_ba,
-                 snap_next_kf, snap_next_mp, *, propagate_depth):
+                 snap_next_kf, snap_next_mp, propagate_depth):
     K = state.kf_capacity
     M = state.mp_capacity
     kf_ids = jnp.arange(K, dtype=jnp.int32)
@@ -293,8 +313,12 @@ def _commit_impl(state: MapState, Tcw_gba, pts_gba, pt_in_ba,
     Tcw_cur = state.kf_Tcw
     Tcw_out = jnp.where(old_kf[:, None, None], Tcw_gba, Tcw_cur)
     corrected = old_kf
-    # spanning-tree propagation for post-snapshot keyframes
-    for _ in range(propagate_depth):
+
+    # spanning-tree propagation for post-snapshot keyframes — depth is a
+    # traced scalar (dynamic fori_loop trip count) so a long solve spanning
+    # many new keyframes does not recompile and never under-propagates
+    def _prop(_, carry):
+        Tcw_out, corrected = carry
         parent = jnp.clip(state.kf_parent, 0, K - 1)
         can = (
             ~corrected & state.kf_valid & (state.kf_parent >= 0)
@@ -306,7 +330,11 @@ def _commit_impl(state: MapState, Tcw_gba, pts_gba, pt_in_ba,
         )
         prop = jnp.einsum("kij,kjl->kil", Tcw_cur, delta)
         Tcw_out = jnp.where(can[:, None, None], prop, Tcw_out)
-        corrected = corrected | can
+        return Tcw_out, corrected | can
+
+    Tcw_out, corrected = jax.lax.fori_loop(
+        0, propagate_depth, _prop, (Tcw_out, corrected)
+    )
 
     # map points: optimized ones take the solve's positions
     mp_ids = jnp.arange(M, dtype=jnp.int32)
@@ -322,4 +350,4 @@ def _commit_impl(state: MapState, Tcw_gba, pts_gba, pt_in_ba,
     return state._replace(kf_Tcw=Tcw_out, mp_pos=mp_pos)
 
 
-_commit_jit = jax.jit(_commit_impl, static_argnames=("propagate_depth",))
+_commit_jit = jax.jit(_commit_impl)
