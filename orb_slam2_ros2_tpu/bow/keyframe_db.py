@@ -116,6 +116,22 @@ def query_scores(
     return jnp.where(kf_valid, s, 0.0)
 
 
+def shared_word_counts(
+    db: KeyFrameDB, query: BowVec, kf_valid: jnp.ndarray, *, n_words: int
+) -> jnp.ndarray:
+    """Shared-word count of the query against every keyframe row [K] — the
+    reference's first retrieval stage (KeyFrameDB.cc:39-58 builds lKfsSharingWords
+    via the inverted index and counts words per KF).  A cheap signal
+    independent of the tf-idf cosine: perceptually-aliased views can score a
+    high cosine on few very-heavy words, but genuine revisits share MANY
+    words; the 0.8·max gate on this count suppresses the aliased candidates."""
+    scratch = jnp.zeros((n_words + 1,), bool).at[
+        jnp.where(query.ids >= 0, query.ids, n_words)
+    ].set(True, mode="drop")
+    g = scratch[jnp.clip(db.word_ids, 0, n_words - 1)] & (db.word_ids >= 0)
+    return jnp.where(kf_valid, jnp.sum(g.astype(jnp.int32), axis=1), 0)
+
+
 def _group_scores(state: MapState, s: jnp.ndarray, top_covis: int = 10) -> jnp.ndarray:
     """Covisibility-group accumulated score (KeyFrameDB.cc:125-173): each
     keyframe's score plus its top-``top_covis`` covisible neighbours'."""
@@ -139,9 +155,13 @@ def find_reloc_candidates(
     n_candidates: int = 5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Relocalization candidates (findRelocKfs, KeyFrameDB.cc:39-173):
-    score all KFs, group-accumulate over covisibility, keep groups above
-    0.75·best, return each group's best member."""
+    shared-word prefilter at 0.8·max (the reference's minCommonWords gate,
+    :58-76), score the survivors, group-accumulate over covisibility, keep
+    groups above 0.75·best, return each group's best member."""
+    shared = shared_word_counts(db, query, state.kf_valid, n_words=n_words)
+    word_ok = shared.astype(jnp.float32) > 0.8 * jnp.max(shared).astype(jnp.float32)
     s = query_scores(db, query, state.kf_valid, n_words=n_words)
+    s = jnp.where(word_ok, s, 0.0)
     gs = _group_scores(state, s)
     th = 0.75 * jnp.max(gs)
     ok = (gs >= th) & (s > 0)
@@ -162,9 +182,12 @@ def find_loop_candidates(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Loop-closure candidates (findLoopCloseKfs, KeyFrameDB.cc:181-242):
     like reloc retrieval, but keyframes covisible with the query are excluded
-    and candidates must beat the query's own neighbourhood minimum score."""
+    and candidates must beat the query's own neighbourhood minimum score.
+    The shared-word prefilter (0.8·max over NON-connected KFs) applies here
+    too (KeyFrameDB.cc:181-213)."""
     K = state.kf_capacity
     s = query_scores(db, query, state.kf_valid, n_words=n_words)
+    shared = shared_word_counts(db, query, state.kf_valid, n_words=n_words)
 
     # min score among the query's covisible neighbours = base threshold
     nb_w = state.covis[query_kf] * state.kf_valid.astype(jnp.int32)
@@ -176,6 +199,11 @@ def find_loop_candidates(
     connected = (state.covis[query_kf] > 0)
     excluded = connected | (jnp.arange(K) == query_kf) | ~state.kf_valid
     s = jnp.where(excluded, 0.0, s)
+    # shared-word gate over the non-excluded set (the reference's max runs
+    # over lKfsSharingWords, which already excludes connected KFs)
+    shared = jnp.where(excluded, 0, shared)
+    word_ok = shared.astype(jnp.float32) > 0.8 * jnp.max(shared).astype(jnp.float32)
+    s = jnp.where(word_ok, s, 0.0)
     gs = _group_scores(state, s)
     th = jnp.maximum(0.75 * jnp.max(gs), min_score)
     ok = (gs >= th) & (s >= min_score) & (s > 0)

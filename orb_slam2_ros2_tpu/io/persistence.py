@@ -38,6 +38,14 @@ def load_map(path: str) -> Tuple[MapState, dict]:
     z = np.load(path)
     fields = {}
     for f in MapState._fields:
+        if f not in z.files:
+            # forward-compat: maps saved before a field existed get its
+            # empty-map default (kf_Tcp added r4 — identity)
+            if f == "kf_Tcp":
+                K = z["kf_Tcw"].shape[0]
+                fields[f] = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4))
+                continue
+            raise KeyError(f"map file {path} missing field {f}")
         fields[f] = jnp.asarray(z[f])
     cfg_dict = json.loads(bytes(z["__config__"].tobytes()).decode()) if "__config__" in z else {}
     return MapState(**fields), cfg_dict

@@ -65,6 +65,11 @@ class MapState(NamedTuple):
     # --- graph ---
     covis: jnp.ndarray         # i32[K, K] shared-MP counts (0 on diagonal)
     kf_parent: jnp.ndarray     # i32[K] spanning-tree parent (−1 = root)
+    # pose relative to the parent, frozen at CULL time (the reference's
+    # KeyFrame::mTcp, KeyFrame.cc SetBadFlag): culled keyframes stop being
+    # optimized, so the final-trajectory export walks culled references up
+    # the tree composing these (System::SaveTrajectoryKITTI)
+    kf_Tcp: jnp.ndarray        # f32[K, 4, 4] (identity until culled)
     # loop edges, bounded list of KF id pairs
     loop_edges: jnp.ndarray    # i32[E, 2] (−1 = empty)
     # --- allocation ---
@@ -137,6 +142,7 @@ def grow_map(
         mp_obs_feat=pad(state.mp_obs_feat, dM, -1),
         covis=pad(pad(state.covis, dK, 0, axis=0), dK, 0, axis=1),
         kf_parent=pad(state.kf_parent, dK, -1),
+        kf_Tcp=jnp.concatenate([state.kf_Tcp, eye_pad]) if dK else state.kf_Tcp,
     )
 
 
@@ -174,6 +180,7 @@ def empty_map(cfg: SLAMConfig) -> MapState:
         mp_obs_feat=jnp.full((M, O), -1, i32),
         covis=jnp.zeros((K, K), i32),
         kf_parent=jnp.full((K,), -1, i32),
+        kf_Tcp=jnp.broadcast_to(jnp.eye(4, dtype=f32), (K, 4, 4)),
         loop_edges=jnp.full((E, 2), -1, i32),
         next_kf=jnp.asarray(0, i32),
         next_mp=jnp.asarray(0, i32),

