@@ -437,6 +437,7 @@ class LoopCloser:
             essential_weight=cfg.loop.essential_graph_weight,
             pose_graph_fn=partial(optimize_pose_graph, iters=20),
         ))
+        self._essential_mesh = None  # built lazily when a mesh is passed
         o = cfg.orb
         c = cfg.camera
         geom = dict(width=c.width, height=c.height,
@@ -669,7 +670,21 @@ class LoopCloser:
         )
         state = self._fuse_group(state, cam, group, kf_ids)
 
-        state = self._essential(
+        if mesh is not None:
+            # edge-sharded pose-graph PCG: the whole closure rides the mesh
+            # (pose_graph._gn_step_pcg_sharded; SURVEY §5.8)
+            if self._essential_mesh is None:
+                self._essential_mesh = jax.jit(partial(
+                    optimize_essential,
+                    essential_weight=self.cfg.loop.essential_graph_weight,
+                    pose_graph_fn=partial(
+                        optimize_pose_graph, iters=20, mesh=mesh,
+                        mesh_axis=self.cfg.dist.mesh_axis),
+                ))
+            ess = self._essential_mesh
+        else:
+            ess = self._essential
+        state = ess(
             state, jnp.asarray(kf_cur), jnp.asarray(kf_cand), S12, S_nc,
             group_mask, pre_conn,
         )

@@ -931,7 +931,12 @@ class SLAM:
             best = stats["best_ref_kf"]
             if best >= 0:
                 self.ref_kf = best
-            self.local = self._snapshot_frame(self.map, new_state.mp_ids)
+            if self._split:
+                # the frame-centered snapshot was already rebuilt on the
+                # mapper chip inside _bookkeep_program
+                self._publish_local(local_d1)
+            else:
+                self.local = self._snapshot_frame(self.map, new_state.mp_ids)
 
         if self._need_keyframe(stats):
             self._insert_and_map(new_state, fid, stats)
@@ -983,11 +988,14 @@ class SLAM:
         self._init_failures = 0
         Tcw = jnp.eye(4, dtype=jnp.float32)
         no_mp = jnp.full((frame.feats.capacity,), -1, jnp.int32)
-        self.map, kf_id = self._insert_kf(self.map, frame, Tcw, no_mp, fid, self.cam)
+        frame_m = jax.device_put(frame, self._d1) if self._split else frame
+        self.map, kf_id = self._insert_kf(self.map, frame_m, Tcw, no_mp, fid, self.cam)
         self.ref_kf = int(kf_id)
         self._n_kf = int(self.map.next_kf)
-        self.local = self._snapshot(self.map, kf_id)
+        self._publish_local(self._snapshot(self.map, kf_id), refresh_view=True)
         mp_ids = self.map.kf_mp_idx[kf_id]
+        if self._split:
+            mp_ids = jax.device_put(mp_ids, self._d0)
         self.last = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=mp_ids)
         self.state = TrackState.OK
         self.frames_since_kf = 0
@@ -1004,8 +1012,16 @@ class SLAM:
 
         kf = self.ref_kf
         M = self.map.mp_capacity
-        has_mp = self.map.kf_feat_valid[kf] & (self.map.kf_mp_idx[kf] >= 0)
-        dist = hamming_matrix(frame.feats.desc, self.map.kf_desc[kf])
+        kf_feat_valid = self.map.kf_feat_valid[kf]
+        kf_mp_idx = self.map.kf_mp_idx[kf]
+        kf_desc = self.map.kf_desc[kf]
+        mp_pos = self.map.mp_pos
+        if self._split:  # move the needed KF rows to the tracking chip
+            kf_feat_valid, kf_mp_idx, kf_desc = jax.device_put(
+                (kf_feat_valid, kf_mp_idx, kf_desc), self._d0)
+            mp_pos = self._tv_pos
+        has_mp = kf_feat_valid & (kf_mp_idx >= 0)
+        dist = hamming_matrix(frame.feats.desc, kf_desc)
         cand = frame.feats.valid[:, None] & has_mp[None, :]
         import jax.numpy as jnp_
 
@@ -1018,8 +1034,8 @@ class SLAM:
         )
         if int(jnp_.sum(ok.astype(jnp_.int32))) < 10:
             return False
-        mp = self.map.kf_mp_idx[kf][bj]
-        pw = self.map.mp_pos[jnp_.clip(mp, 0, M - 1)]
+        mp = kf_mp_idx[bj]
+        pw = mp_pos[jnp_.clip(mp, 0, M - 1)]
         inv_s2 = jnp_.power(
             jnp_.float32(1.0 / (self.cfg.orb.scale_factor**2)),
             frame.feats.octave.astype(jnp_.float32),
@@ -1068,11 +1084,12 @@ class SLAM:
                 return ids
 
             self._reloc_query_jit = jax.jit(_query)
+        frame_q = jax.device_put(frame, self._d1) if self._split else frame
         cand_ids = self._reloc_query_jit(
-            self.loop_closer.db, self.map, frame.feats.desc, frame.feats.valid
+            self.loop_closer.db, self.map, frame_q.feats.desc, frame_q.feats.valid
         )
         packed_dev, mp_dev = self._reloc_fused(
-            self.map, self.cam, frame, cand_ids, jax.random.PRNGKey(fid)
+            self.map, self.cam, frame_q, cand_ids, jax.random.PRNGKey(fid)
         )
         packed = np.asarray(packed_dev)  # the ONE fetch of the LOST frame
         info = {"reloc_candidates": int((packed[:, 2] >= 0).sum())}
@@ -1084,11 +1101,14 @@ class SLAM:
         n_in = int(packed[i, 1])
         Tcw = jnp.asarray(packed[i, 3:].reshape(4, 4))
         cur_mp = mp_dev[i]
+        if self._split:
+            cur_mp = jax.device_put(cur_mp, self._d0)
         # accepted: rebuild tracking state around the matched keyframe
         self.last = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=cur_mp)
         self.velocity = jnp.eye(4, dtype=jnp.float32)
         self.ref_kf = cand
-        self.local = self._snapshot(self.map, jnp.asarray(cand))
+        self._publish_local(self._snapshot(self.map, jnp.asarray(cand)),
+                            refresh_view=True)
         self.state = TrackState.OK
         self.last_reloc_fid = fid
         pose = packed[i, 3:].reshape(4, 4).copy()
@@ -1172,10 +1192,14 @@ class SLAM:
             if stats.get("next_mp", 0) + headroom >= self.map.mp_capacity:
                 self._grow(mp_capacity=2 * self.map.mp_capacity)
         self._flush_pending(next_kf_arriving=True)
-        self.map, kf_id, self.local, last_mp_ids, last_Tcw = self._timed(
+        cur_m = jax.device_put(cur, self._d1) if self._split else cur
+        self.map, kf_id, local, last_mp_ids, last_Tcw = self._timed(
             "map_front", self._map_front,
-            self.map, cur.frame, cur.Tcw, cur.mp_ids, fid, self.cam,
+            self.map, cur_m.frame, cur_m.Tcw, cur_m.mp_ids, fid, self.cam,
         )
+        self._publish_local(local, refresh_view=True)
+        if self._split:
+            last_mp_ids, last_Tcw = jax.device_put((last_mp_ids, last_Tcw), self._d0)
         kf_id_i = self._n_kf
         self._n_kf += 1
         self._pending_kf = (kf_id_i, kf_id)
@@ -1199,9 +1223,15 @@ class SLAM:
         from ..mapstate.map_state import grow_map
 
         self.map = grow_map(self.map, kf_capacity=kf_capacity, mp_capacity=mp_capacity)
+        if self._split:
+            self.map = jax.device_put(self.map, self._d1)
+        if mp_capacity is not None and self._split:
+            self._tv_pos = jax.device_put(self.map.mp_pos, self._d0)
+            self._tv_valid = jax.device_put(self.map.mp_valid, self._d0)
         if kf_capacity is not None:
             if self.local is not None:
-                self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
+                self._publish_local(self._snapshot(self.map, jnp.asarray(self.ref_kf)),
+                                    refresh_view=self._split)
             if self.loop_closer is not None:
                 self.loop_closer.grow(kf_capacity)
 
@@ -1235,9 +1265,10 @@ class SLAM:
         kf_id_i, kf_id = self._pending_kf
         self._pending_kf = None
         self._kfs_since_ba = 0
-        self.map, self.local, kf_Tcw_before = self._timed(
+        self.map, local, kf_Tcw_before = self._timed(
             "map_tail", self._map_tail, self.map, kf_id, self.cam
         )
+        self._publish_local(local, refresh_view=True)
         if self.enable_loop_closing:
             self._dispatch_loop_detect(kf_id_i)
 
@@ -1353,9 +1384,12 @@ class SLAM:
         # refresh the snapshot on the corrected map and re-anchor the
         # tracker's pose chain by the correction applied to its reference
         # KF (the essential graph can move it arbitrarily far)
-        self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
+        self._publish_local(self._snapshot(self.map, jnp.asarray(self.ref_kf)),
+                            refresh_view=True)
         if self.last is not None:
             delta = se3.inverse(ref_before) @ self.map.kf_Tcw[self.ref_kf]
+            if self._split:
+                delta = jax.device_put(delta, self._d0)
             self.last = self.last._replace(Tcw=self.last.Tcw @ delta)
             self.velocity = jnp.eye(4, dtype=jnp.float32)
         return True
@@ -1384,9 +1418,12 @@ class SLAM:
         ref_before = self.map.kf_Tcw[self.ref_kf]
         self.map = commit_global_ba(self.map, self._pending_gba)
         self._pending_gba = None
-        self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
+        self._publish_local(self._snapshot(self.map, jnp.asarray(self.ref_kf)),
+                            refresh_view=True)
         if self.last is not None:
             delta = se3.inverse(ref_before) @ self.map.kf_Tcw[self.ref_kf]
+            if self._split:
+                delta = jax.device_put(delta, self._d0)
             self.last = self.last._replace(Tcw=self.last.Tcw @ delta)
             self.velocity = jnp.eye(4, dtype=jnp.float32)
 
@@ -1400,7 +1437,8 @@ class SLAM:
             pcg_iters=self.cfg.ba.pcg_iters, mesh=mesh or self.mesh,
         )
         if self.local is not None:
-            self.local = self._snapshot(self.map, jnp.asarray(self.ref_kf))
+            self._publish_local(self._snapshot(self.map, jnp.asarray(self.ref_kf)),
+                                refresh_view=True)
 
     # ------------------------------------------------------------------
     def final_trajectory(self) -> list:
@@ -1517,6 +1555,10 @@ class SLAM:
             self.map, _ = load_map(path + ".map.npz")
             if os.path.exists(path + ".vocab.npz"):
                 vocab = load_vocabulary(path + ".vocab.npz")
+        if self._split:
+            self.map = jax.device_put(self.map, self._d1)
+            self._tv_pos = jax.device_put(self.map.mp_pos, self._d0)
+            self._tv_valid = jax.device_put(self.map.mp_valid, self._d0)
         self._n_kf = int(self.map.next_kf)
         self._reloc_query_jit = None  # rebuilt against the loaded vocabulary
         if vocab is not None:

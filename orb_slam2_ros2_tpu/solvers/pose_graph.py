@@ -180,6 +180,89 @@ def _gn_step_pcg(
     return _finish_step(prob, S, dx)
 
 
+def _gn_step_pcg_sharded(
+    prob: PoseGraphProblem,
+    S: sim3.Sim3,
+    damping: float,
+    cg_iters: int,
+    mesh,
+    axis: str,
+) -> sim3.Sim3:
+    """Edge-sharded matrix-free GN step: each device linearizes its edge
+    shard, endpoint scatter-adds are psum'ed into replicated [K,7] vertex
+    vectors, and the (cheap, replicated) CG iterates on every device — the
+    same "assemble the reduced system via psum" recipe the landmark-sharded
+    global BA uses (pcg_ba.solve_global_ba_sharded; SURVEY §5.8).  Vertex
+    state is replicated (7K floats — tiny); only the O(E) Jacobian work and
+    its memory scale down per device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    K = prob.kf_valid.shape[0]
+    n = mesh.devices.size
+    E = prob.edge_i.shape[0]
+    pad = (-E) % n
+    if pad:  # pad the edge set to a multiple of the mesh (masked invalid)
+        padt = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        prob = prob._replace(
+            edge_i=padt(prob.edge_i), edge_j=padt(prob.edge_j),
+            edge_Sji=jax.tree.map(padt, prob.edge_Sji),
+            edge_valid=jnp.concatenate([prob.edge_valid, jnp.zeros(pad, bool)]),
+            edge_weight=padt(prob.edge_weight),
+        )
+
+    espec = PoseGraphProblem(
+        S_cw=sim3.Sim3(P(), P(), P()), kf_valid=P(), kf_fixed=P(),
+        edge_i=P(axis), edge_j=P(axis),
+        edge_Sji=sim3.Sim3(P(axis), P(axis), P(axis)),
+        edge_valid=P(axis), edge_weight=P(axis),
+    )
+
+    def run(prob_sh: PoseGraphProblem, S_sh: sim3.Sim3):
+        r, Ji, Jj, w = _linearize(prob_sh, S_sh)   # local edge shard
+        anchor = (prob_sh.kf_fixed | ~prob_sh.kf_valid).astype(jnp.float32)
+        diag = anchor * 1e6 + damping
+        ei = jnp.where(prob_sh.edge_valid, prob_sh.edge_i, K)
+        ej = jnp.where(prob_sh.edge_valid, prob_sh.edge_j, K)
+
+        def scat(idx, vals):
+            z = jnp.zeros((K + 1,) + vals.shape[1:], vals.dtype)
+            return z.at[idx].add(vals, mode="drop")[:K]
+
+        psum = lambda x: jax.lax.psum(x, axis)
+        bi = jnp.einsum("eki,e,ek->ei", Ji, w, r)
+        bj = jnp.einsum("eki,e,ek->ei", Jj, w, r)
+        b = psum(scat(ei, bi) + scat(ej, bj))
+
+        def Hx(x):
+            xi = x[prob_sh.edge_i]
+            xj = x[prob_sh.edge_j]
+            ye = jnp.einsum("eij,ej->ei", Ji, xi) + jnp.einsum("eij,ej->ei", Jj, xj)
+            ye = w[:, None] * ye
+            gi = jnp.einsum("eij,ei->ej", Ji, ye)
+            gj = jnp.einsum("eij,ei->ej", Jj, ye)
+            return psum(scat(ei, gi) + scat(ej, gj)) + diag[:, None] * x
+
+        Hii = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
+        Hjj = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
+        Hd = (
+            psum(scat(ei, Hii) + scat(ej, Hjj))
+            + (diag + 1e-8)[:, None, None] * jnp.eye(7)[None]
+        )
+        Hd_inv = jnp.linalg.inv(Hd)
+        precond = lambda x: jnp.einsum("kij,kj->ki", Hd_inv, x)
+        dx, _ = jax.scipy.sparse.linalg.cg(Hx, -b, M=precond,
+                                           maxiter=cg_iters, tol=1e-6)
+        return dx
+
+    dx = shard_map(
+        run, mesh=mesh, in_specs=(espec, sim3.Sim3(P(), P(), P())),
+        out_specs=P(), check_rep=False,
+    )(prob, S)
+    return _finish_step(prob, S, dx)
+
+
 def optimize_pose_graph(
     prob: PoseGraphProblem,
     *,
@@ -187,17 +270,23 @@ def optimize_pose_graph(
     damping: float = 1e-6,
     cg_iters: int = 150,
     dense_max_k: int = DENSE_MAX_K,
+    mesh=None,
+    mesh_axis: str = "ba",
 ) -> sim3.Sim3:
     """Batched GN over the whole graph; returns optimized S_cw.
 
     Dispatches on the static vertex count: dense Cholesky for small graphs,
-    matrix-free PCG (no (7K)² Hessian) beyond ``dense_max_k``.
-    """
+    matrix-free PCG (no (7K)² Hessian) beyond ``dense_max_k`` — and when a
+    ``mesh`` is given, the PCG linearization/reductions shard over its edge
+    axis so a whole loop closure rides the mesh (SURVEY §5.8)."""
     K = prob.kf_valid.shape[0]
 
-    if K <= dense_max_k:
+    if K <= dense_max_k and mesh is None:
         step = lambda _, S: _gn_step_dense(prob, S, damping)
-    else:
+    elif mesh is None:
         step = lambda _, S: _gn_step_pcg(prob, S, damping, cg_iters)
+    else:
+        step = lambda _, S: _gn_step_pcg_sharded(
+            prob, S, damping, cg_iters, mesh, mesh_axis)
 
     return jax.lax.fori_loop(0, iters, step, prob.S_cw)

@@ -177,3 +177,20 @@ class TestPoseGraph:
         drift_after = np.linalg.norm(T_opt[-1][:3, 3] - gt[-1][:3, 3])
         assert drift_after < 0.35 * drift_before, (drift_before, drift_after)
         np.testing.assert_allclose(T_opt[0], est[0], atol=1e-4)
+
+    def test_sharded_matches_unsharded(self):
+        """Edge-sharded PCG over the 8-virtual-device mesh == single-device
+        PCG (SURVEY §5.8: a whole loop closure rides the mesh).  Also
+        exercises the non-divisible edge-count padding path (K edges = 24,
+        mesh 8 → pad 0; K=27 edges → pad 5)."""
+        from jax.sharding import Mesh
+
+        prob, gt, est = _drift_chain_problem(K=26)
+        devs = np.array(jax.devices()[:8])
+        mesh = Mesh(devs, ("ba",))
+        S_ref = optimize_pose_graph(prob, iters=15, dense_max_k=0, cg_iters=200)
+        S_sh = optimize_pose_graph(prob, iters=15, cg_iters=200,
+                                   mesh=mesh, mesh_axis="ba")
+        T_ref = np.asarray(sim3.to_se3(S_ref))
+        T_sh = np.asarray(sim3.to_se3(S_sh))
+        np.testing.assert_allclose(T_sh, T_ref, atol=2e-3)
