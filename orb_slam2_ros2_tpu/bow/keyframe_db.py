@@ -32,6 +32,12 @@ from ..mapstate.map_state import MapState
 from .vocabulary import Vocabulary, transform
 
 
+# minimum vocabulary size for the shared-word prefilter (see
+# find_reloc_candidates): below this the rows saturate and word counts stop
+# being a place signal
+WORD_GATE_MIN_VOCAB = 10_000
+
+
 class BowVec(NamedTuple):
     """Sparse tf-idf vector: top-S (word id, weight) pairs, L2-normalized."""
 
@@ -157,11 +163,21 @@ def find_reloc_candidates(
     """Relocalization candidates (findRelocKfs, KeyFrameDB.cc:39-173):
     shared-word prefilter at 0.8·max (the reference's minCommonWords gate,
     :58-76), score the survivors, group-accumulate over covisibility, keep
-    groups above 0.75·best, return each group's best member."""
-    shared = shared_word_counts(db, query, state.kf_valid, n_words=n_words)
-    word_ok = shared.astype(jnp.float32) > 0.8 * jnp.max(shared).astype(jnp.float32)
+    groups above 0.75·best, return each group's best member.
+
+    The word gate assumes an ORBvoc-class vocabulary: with 10^5-10^6 words a
+    frame's words are a discriminative place fingerprint.  With a TINY
+    vocabulary the per-KF rows saturate (every KF holds most words) and the
+    count degenerates into a texture-frequency signal — measured on the
+    aliased adversarial world with a 216-word vocab, the repeated-texture
+    wall out-shared every genuine revisit and the gate pruned exactly the
+    right candidates.  So the gate activates only at vocabulary sizes where
+    its premise holds."""
     s = query_scores(db, query, state.kf_valid, n_words=n_words)
-    s = jnp.where(word_ok, s, 0.0)
+    if n_words >= WORD_GATE_MIN_VOCAB:
+        shared = shared_word_counts(db, query, state.kf_valid, n_words=n_words)
+        word_ok = shared.astype(jnp.float32) > 0.8 * jnp.max(shared).astype(jnp.float32)
+        s = jnp.where(word_ok, s, 0.0)
     gs = _group_scores(state, s)
     th = 0.75 * jnp.max(gs)
     ok = (gs >= th) & (s > 0)
@@ -184,10 +200,12 @@ def find_loop_candidates(
     like reloc retrieval, but keyframes covisible with the query are excluded
     and candidates must beat the query's own neighbourhood minimum score.
     The shared-word prefilter (0.8·max over NON-connected KFs) applies here
-    too (KeyFrameDB.cc:181-213)."""
+    too (KeyFrameDB.cc:181-213), subject to the same vocabulary-size premise
+    as find_reloc_candidates."""
     K = state.kf_capacity
     s = query_scores(db, query, state.kf_valid, n_words=n_words)
     shared = shared_word_counts(db, query, state.kf_valid, n_words=n_words)
+    use_gate = n_words >= WORD_GATE_MIN_VOCAB
 
     # min score among the query's covisible neighbours = base threshold
     nb_w = state.covis[query_kf] * state.kf_valid.astype(jnp.int32)
@@ -201,9 +219,10 @@ def find_loop_candidates(
     s = jnp.where(excluded, 0.0, s)
     # shared-word gate over the non-excluded set (the reference's max runs
     # over lKfsSharingWords, which already excludes connected KFs)
-    shared = jnp.where(excluded, 0, shared)
-    word_ok = shared.astype(jnp.float32) > 0.8 * jnp.max(shared).astype(jnp.float32)
-    s = jnp.where(word_ok, s, 0.0)
+    if use_gate:
+        shared = jnp.where(excluded, 0, shared)
+        word_ok = shared.astype(jnp.float32) > 0.8 * jnp.max(shared).astype(jnp.float32)
+        s = jnp.where(word_ok, s, 0.0)
     gs = _group_scores(state, s)
     th = jnp.maximum(0.75 * jnp.max(gs), min_score)
     ok = (gs >= th) & (s >= min_score) & (s > 0)

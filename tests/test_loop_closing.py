@@ -66,9 +66,20 @@ def test_loop_closure_on_circle(cfg):
     # way the reference joins its LoopClosing thread at shutdown
     slam.flush()
     assert getattr(slam, "loops_closed", 0) >= 1
-    # final pose should be near the start (closed loop) — compare relative to
-    # each trajectory's own start frame (SLAM's world = first camera)
-    rel_est = np.linalg.inv(est[0]) @ est[-1]
+    # endpoint error of the FINAL exported trajectory (SaveTrajectoryKITTI —
+    # the thing KITTI evaluations score; the closure's essential-graph
+    # correction applies to the whole path).  The live endpoint is kept as a
+    # loose envelope only: on this chaotic world it draws 0.9-2.3 m across
+    # re-runs of the SAME code (r4 sweep), while the final endpoint is stable
+    fin = dict(slam.final_trajectory())
+    est_f = [np.linalg.inv(fin[i]) for i in range(n_frames) if i in fin]
+    assert len(est_f) >= n_frames - 2
+    rel_est = np.linalg.inv(est_f[0]) @ est_f[-1]
     rel_gt = np.linalg.inv(gt[0]) @ gt[-1]
     d_end = np.linalg.norm(rel_est[:3, 3] - rel_gt[:3, 3])
-    assert d_end < 1.5, f"endpoint error {d_end:.2f} m"
+    assert d_end < 1.2, f"final-trajectory endpoint error {d_end:.2f} m"
+    ate_f = ate_rmse(est_f, [gt[i] for i in range(n_frames) if i in fin])
+    assert ate_f < 0.05 * circumference, f"final ATE {ate_f:.3f}"
+    rel_live = np.linalg.inv(est[0]) @ est[-1]
+    d_live = np.linalg.norm(rel_live[:3, 3] - rel_gt[:3, 3])
+    assert d_live < 2.5, f"live endpoint error {d_live:.2f} m"
