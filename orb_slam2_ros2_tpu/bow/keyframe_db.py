@@ -138,18 +138,27 @@ def shared_word_counts(
     return jnp.where(kf_valid, jnp.sum(g.astype(jnp.int32), axis=1), 0)
 
 
-def _group_scores(state: MapState, s: jnp.ndarray, top_covis: int = 10) -> jnp.ndarray:
+def _group_scores(
+    state: MapState, s: jnp.ndarray, top_covis: int = 10, top_rows: int = 64
+) -> jnp.ndarray:
     """Covisibility-group accumulated score (KeyFrameDB.cc:125-173): each
-    keyframe's score plus its top-``top_covis`` covisible neighbours'."""
+    keyframe's score plus its top-``top_covis`` covisible neighbours'.
+
+    Computed only for the ``top_rows`` highest-scoring keyframes (other rows
+    return 0): candidates are selected by own-score among group-passers, so
+    only high-s rows can ever be picked, and the 0.75·max(gs) threshold can
+    at worst be slightly UNDER-estimated (more permissive — benign).  This
+    replaces a [K, K] row-top-k (the single biggest op in the per-keyframe
+    detection program at K=1024) with a [top_rows, K] one."""
     K = s.shape[0]
-    w, ids = jax.lax.top_k(
-        state.covis * state.kf_valid.astype(jnp.int32), min(top_covis, K)
-    )
-    nb = jnp.where(w > 0, ids, K)
-    neighbor_sum = jnp.sum(
-        jnp.where(w > 0, s[jnp.clip(nb, 0, K - 1)], 0.0), axis=1
-    )
-    return s + neighbor_sum
+    R = min(top_rows, K)
+    sv, rows = jax.lax.top_k(s, R)                       # high-s keyframes
+    rows_c = jnp.clip(rows, 0, K - 1)
+    covis_rows = state.covis[rows_c] * state.kf_valid.astype(jnp.int32)[None, :]
+    w, ids = jax.lax.top_k(covis_rows, min(top_covis, K))  # [R, top_covis]
+    nb_sum = jnp.sum(jnp.where(w > 0, s[jnp.clip(ids, 0, K - 1)], 0.0), axis=1)
+    gs_rows = jnp.where(sv > 0, sv + nb_sum, 0.0)
+    return jnp.zeros((K,), s.dtype).at[rows_c].max(gs_rows)
 
 
 def find_reloc_candidates(

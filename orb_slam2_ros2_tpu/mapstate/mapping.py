@@ -337,14 +337,32 @@ def cull_keyframes(
     covisibility, or past the fixed ``n_reparent_iters`` budget) fall back
     to the culled KF's parent — the reference's own no-weight fallback.
 
-    The whole check is batched per candidate over its [N] feature slots and
-    their [O] observation fan-out.
+    The expensive gather work of the redundancy check (observation fan-out +
+    observer octaves) is ONE batched [J,N,O] pass (r4: ten sequential
+    per-candidate gather rounds serialized ~9 ms of device time per
+    keyframe); the per-candidate application re-masks the precomputed
+    observer set by LIVE ``kf_valid``, so same-pass culls stop counting as
+    observers exactly as in the sequential reference walk.
     """
     K = state.kf_capacity
     N = state.kf_mp_idx.shape[1]
     M = state.mp_capacity
     w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
     wv, cand_ids = topk_bounded(w, n_candidates)
+
+    # ---- batched redundancy check over all candidates [J, N, O] ----------
+    mp_b = state.kf_mp_idx[cand_ids]                        # [J, N]
+    has_b = (mp_b >= 0) & state.kf_feat_valid[cand_ids]
+    mc_b = jnp.clip(mp_b, 0, M - 1)
+    my_oct_b = state.kf_octave[cand_ids]                    # [J, N]
+    obs_kf_b = state.mp_obs_kf[mc_b]                        # [J, N, O]
+    obs_feat_b = state.mp_obs_feat[mc_b]
+    ok_b = (obs_kf_b >= 0) & (obs_kf_b != cand_ids[:, None, None]) & has_b[..., None]
+    octs_b = state.kf_octave[
+        jnp.clip(obs_kf_b, 0, K - 1), jnp.clip(obs_feat_b, 0, N - 1)
+    ]
+    finer_b = ok_b & (octs_b <= my_oct_b[..., None] + 1)
+    n_mp_b = jnp.maximum(jnp.sum(has_b.astype(jnp.int32), axis=1), 1)   # [J]
 
     # keyframes carrying a loop edge are never culled: future essential-graph
     # optimizations reuse those edges, so erasing an endpoint would anchor a
@@ -366,25 +384,28 @@ def cull_keyframes(
             & st.kf_valid[kj] & ~has_loop_edge[kj]
         )
 
-        mp = st.kf_mp_idx[kj]                      # [N]
-        has = (mp >= 0) & st.kf_feat_valid[kj]
-        mc = jnp.clip(mp, 0, M - 1)
-        my_oct = st.kf_octave[kj]                  # [N]
-        obs_kf = st.mp_obs_kf[mc]                  # [N, O]
-        obs_feat = st.mp_obs_feat[mc]
-        ok = (obs_kf >= 0) & (obs_kf != kj) & has[:, None]
-        octs = st.kf_octave[jnp.clip(obs_kf, 0, K - 1), jnp.clip(obs_feat, 0, N - 1)]
-        finer = ok & (octs <= my_oct[:, None] + 1)
-        n_finer = jnp.sum(finer.astype(jnp.int32), axis=1)
+        mp = mp_b[j]                               # [N]
+        has = has_b[j]
+        mc = mc_b[j]
+        # LIVE observer-validity mask on the precomputed [N, O] finer set:
+        # earlier culls in this pass must stop counting as observers (the
+        # sequential reference reads the cleared observation lists; masking
+        # by live kf_valid is equivalent — the first batched version skipped
+        # this and OVER-culled keyframes whose redundancy relied on
+        # same-pass-culled observers)
+        obs_live = finer_b[j] & st.kf_valid[jnp.clip(obs_kf_b[j], 0, K - 1)]
+        n_finer = jnp.sum(obs_live.astype(jnp.int32), axis=1)
         redundant = has & (n_finer >= min_obs)
-
-        n_mp = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
-        cull = cand_ok & (jnp.sum(redundant.astype(jnp.int32)) >= redundancy * n_mp) & (n_mp > 20)
+        cull = (
+            cand_ok
+            & (jnp.sum(redundant.astype(jnp.int32)) >= redundancy * n_mp_b[j])
+            & (n_mp_b[j] > 20)
+        )
 
         # --- apply the cull functionally (masked no-op when cull is False) --
         kf_valid = st.kf_valid.at[kj].set(jnp.where(cull, False, st.kf_valid[kj]))
         # remove the KF's observations from its map points' fan-out lists
-        obs_match = st.mp_obs_kf[mc] == kj
+        obs_match = obs_kf_b[j] == kj
         clear = cull & has[:, None] & obs_match
         new_obs_kf = jnp.where(clear, -1, st.mp_obs_kf[mc])
         tgt = jnp.where(has & cull, mc, M)
@@ -488,40 +509,63 @@ def fuse_keyframe_into_neighbors(
     stereo-seed points past one observation immediately; without it the
     needNewKeyFrame ratio (nRefMatches counts ≥2-observation points,
     Tracking.cc:735-746) reads a near-empty reference set and the cadence
-    logic starves."""
-    from .local_map import LocalMap
+    logic starves.
+
+    r4: the ``n_neighbors`` projection searches run as ONE vmapped pass
+    (they all project the same candidate set, just into different
+    keyframes — the old per-neighbour rounds serialized 5 hamming
+    matrices); only the attach/merge applications stay sequential, each
+    re-checking LIVE candidate validity so a point merged away by an
+    earlier neighbour never re-attaches."""
+    from ..features.frame import FrameFeatures
+    from ..matching.matcher import MatchResult, search_mappoints_projection
 
     M = state.mp_capacity
     K = state.kf_capacity
+    N = state.kf_uv.shape[1]
     w = state.covis[kf_id] * state.kf_valid.astype(jnp.int32)
     nb_w, nb_ids = topk_bounded(w, n_neighbors)
 
     mp = state.kf_mp_idx[kf_id]
     mpc = jnp.clip(mp, 0, M - 1)
     base_valid = state.kf_feat_valid[kf_id] & (mp >= 0)
+    cand_ids = jnp.where(base_valid, mp, -1)
+    cand_pos = state.mp_pos[mpc]
+    cand_normal = state.mp_normal[mpc]
+    cand_desc = state.mp_desc[mpc]
+    cand_min = state.mp_min_dist[mpc]
+    cand_max = state.mp_max_dist[mpc]
+
+    def search_one(kn, okj):
+        feats = FrameFeatures(
+            uv=state.kf_uv[kn], uv_raw=state.kf_uv[kn],
+            octave=state.kf_octave[kn],
+            response=jnp.ones((N,), jnp.float32),
+            angle=state.kf_angle[kn], desc=state.kf_desc[kn],
+            valid=state.kf_feat_valid[kn],
+        )
+        own = jnp.zeros((M + 1,), bool).at[
+            jnp.where(state.kf_mp_idx[kn] >= 0, state.kf_mp_idx[kn], M)
+        ].set(True, mode="drop")
+        valid = base_valid & state.mp_valid[mpc] & okj & ~own[mpc]
+        m = search_mappoints_projection(
+            cam, state.kf_Tcw[kn],
+            cand_pos, cand_normal, cand_min, cand_max, cand_desc,
+            valid, feats, jnp.zeros((N,), bool),
+            th=th, width=width, height=height, scale_factor=scale_factor,
+            n_levels=n_levels, max_dist=max_dist, ratio=ratio,
+            exclude_taken=False,
+        )
+        return m.idx, m.dist
+
+    ok_nb = (nb_w > 0) & (nb_ids != kf_id) & state.kf_valid[nb_ids]
+    idx_b, dist_b = jax.vmap(search_one)(nb_ids, ok_nb)        # [J, N]
 
     st = state
     for j in range(n_neighbors):
-        kn = nb_ids[j]
-        ok = (nb_w[j] > 0) & (kn != kf_id) & st.kf_valid[kn]
-        # re-gather per round: earlier rounds may have merged candidates away
-        cand = LocalMap(
-            mp_ids=jnp.where(base_valid, mp, -1),
-            pos=st.mp_pos[mpc],
-            normal=st.mp_normal[mpc],
-            desc=st.mp_desc[mpc],
-            min_dist=st.mp_min_dist[mpc],
-            max_dist=st.mp_max_dist[mpc],
-            valid=base_valid & st.mp_valid[mpc] & ok,
-            kf_ids=nb_ids,  # unused by the fuse
-            kf_mask=jnp.zeros((K,), bool),
-        )
-        st = fuse_candidates_into_keyframe(
-            st, kn, cam, cand,
-            width=width, height=height, scale_factor=scale_factor,
-            n_levels=n_levels, th=th, max_dist=max_dist, ratio=ratio,
-            allow_merge=allow_merge, update_stats=False,
-        )
+        m = MatchResult(idx=jnp.where(ok_nb[j], idx_b[j], -1), dist=dist_b[j])
+        st = _apply_fuse_matches(st, nb_ids[j], m, cand_ids,
+                                 allow_merge=allow_merge)
     # distillation/normals ONCE over the whole candidate set (each per-pass
     # refresh repeated the [N, O, O] hamming work ~n_neighbors times), then
     # refresh covisibility rows of every touched keyframe
@@ -539,6 +583,52 @@ def fuse_keyframe_into_neighbors(
     row = _covis_row_for_kf(st, kf_id)
     covis = st.covis.at[kf_id, :].set(row).at[:, kf_id].set(row)
     return st._replace(covis=covis)
+
+
+def _apply_fuse_matches(
+    state: MapState,
+    kf_id,
+    m,
+    cand_mp: jnp.ndarray,   # i32[L] candidate map-point id per match row
+    *,
+    allow_merge: bool = True,
+    loop_priority: bool = False,
+) -> MapState:
+    """Apply precomputed fuse matches into ``kf_id``: attach to empty slots,
+    merge with occupants (the post-search half of the fuse — ORBMatcher::fuse
+    LocalMapping.cc:352-405).  Candidate validity is re-checked LIVE so a
+    batched search whose candidates were merged away by an earlier apply
+    round stays safe."""
+    M = state.mp_capacity
+    N = state.kf_mp_idx.shape[1]
+    cand_c = jnp.clip(cand_mp, 0, M - 1)
+    found = m.found & (cand_mp >= 0) & state.mp_valid[cand_c]
+    fj = jnp.clip(m.idx, 0, N - 1)
+    cur_mp = state.kf_mp_idx[kf_id]
+    mp_new = cand_mp
+    mp_old = cur_mp[fj]
+
+    # case A: slot empty → attach observation
+    attach = found & (mp_old < 0)
+    st = state._replace(
+        kf_mp_idx=state.kf_mp_idx.at[kf_id, jnp.where(attach, fj, N)].set(
+            jnp.where(attach, mp_new, -1), mode="drop"
+        )
+    )
+    st = _append_observations(st, kf_id, mp_new, fj, attach)
+
+    # case B: slot occupied by another point → merge; the loop variant keeps
+    # the projected loop-group point, local mapping keeps the better-observed
+    merge = found & (mp_old >= 0) & (mp_old != mp_new) & allow_merge
+    if loop_priority:
+        win_new = jnp.ones_like(merge)
+    else:
+        n_new = st.mp_n_obs[jnp.clip(mp_new, 0, M - 1)]
+        n_old = st.mp_n_obs[jnp.clip(mp_old, 0, M - 1)]
+        win_new = n_new >= n_old
+    winner = jnp.where(win_new, mp_new, mp_old)
+    loser = jnp.where(win_new, mp_old, mp_new)
+    return merge_mappoints(st, winner, loser, merge)
 
 
 def fuse_candidates_into_keyframe(
@@ -597,37 +687,14 @@ def fuse_candidates_into_keyframe(
         th=th, width=width, height=height, scale_factor=scale_factor,
         n_levels=n_levels, max_dist=max_dist, ratio=ratio, exclude_taken=False,
     )
-    # per-local-mp match into this KF
-    found = m.idx >= 0
-    fj = jnp.clip(m.idx, 0, N - 1)
-    mp_new = local.mp_ids                      # candidate point [L]
-    mp_old = cur_mp[fj]                        # existing point at that slot [L]
-
-    # case A: slot empty → attach observation
-    attach = found & (mp_old < 0)
-    st = state._replace(
-        kf_mp_idx=state.kf_mp_idx.at[kf_id, jnp.where(attach, fj, N)].set(
-            jnp.where(attach, mp_new, -1), mode="drop"
-        )
+    st = _apply_fuse_matches(
+        state, kf_id, m, jnp.where(cand_valid, local.mp_ids, -1),
+        allow_merge=allow_merge, loop_priority=loop_priority,
     )
-    st = _append_observations(st, kf_id, mp_new, fj, attach)
-
-    # case B: slot occupied by another point → merge; the loop variant keeps
-    # the projected loop-group point, local mapping keeps the better-observed
-    merge = found & (mp_old >= 0) & (mp_old != mp_new) & allow_merge
-    if loop_priority:
-        win_new = jnp.ones_like(merge)
-    else:
-        n_new = st.mp_n_obs[jnp.clip(mp_new, 0, M - 1)]
-        n_old = st.mp_n_obs[jnp.clip(mp_old, 0, M - 1)]
-        win_new = n_new >= n_old
-    winner = jnp.where(win_new, mp_new, mp_old)
-    loser = jnp.where(win_new, mp_old, mp_new)
-    st = merge_mappoints(st, winner, loser, merge)
 
     if not update_stats:
         return st
-    touched = jnp.where(found, mp_new, -1)
+    touched = jnp.where(m.found, local.mp_ids, -1)
     st = _distill_descriptors(st, touched)
     st = _update_normals_and_depth(st, touched, scale_factor, n_levels)
     row = _covis_row_for_kf(st, kf_id)
