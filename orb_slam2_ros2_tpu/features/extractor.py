@@ -86,7 +86,7 @@ def extract_features_batch(
     )
     uts, resps, valids, octs = [], [], [], []
     for l in range(n_levels):
-        score = fast.nms3(fast.fast_score_dispatch(levels[l], min_th))  # [B, Hl, Wl]
+        score = fast.fast_score_nms_dispatch(levels[l], min_th)  # [B, Hl, Wl]
         uv_l, resp_l, valid_l = select(score, caps[l])             # [B, cap, ...]
         s = scale_factor**l
         uts.append(uv_l * s)  # to level-0 coords

@@ -89,6 +89,22 @@ def fast_score_dispatch(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return fast_score_pallas(img, threshold)
 
 
+def fast_score_nms_dispatch(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST score + 3×3 NMS in one pass: the fused Pallas kernel on
+    TPU-class backends (saves 8 reduce_window launches and their score-map
+    HBM round-trips per frame), score→nms3 composition elsewhere.  Interior
+    outputs are bit-exact between the paths (tested)."""
+    import os
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    disabled = os.environ.get("SLAM_DISABLE_PALLAS_FAST", "").lower() not in ("", "0", "false")
+    if not on_tpu or disabled:
+        return nms3(fast_score(img, threshold))
+    from .pallas_fast import fast_score_pallas
+
+    return fast_score_pallas(img, threshold, nms=True)
+
+
 def nms3(score: jnp.ndarray) -> jnp.ndarray:
     """3×3 non-max suppression over the trailing two axes: keep pixels equal
     to their neighbourhood max.  Leading dims batch."""

@@ -239,6 +239,23 @@ def test_pallas_fast_matches_xla_interior():
 
 
 @pytest.mark.smoke
+def test_pallas_fast_fused_nms_matches_xla_interior():
+    """The NMS-fused variant must equal nms3(fast_score) in the interior
+    (margin 5: the 4 px score halo plus the 1 px suppression window)."""
+    from orb_slam2_ros2_tpu.ops.fast import fast_score, nms3
+    from orb_slam2_ros2_tpu.ops.pallas_fast import fast_score_pallas
+
+    rng = np.random.default_rng(1)
+    for H, W, dt in ((96, 200, np.float32), (77, 130, jnp.bfloat16)):
+        img = jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32)).astype(dt)
+        ref = np.asarray(nms3(fast_score(img, 7.0)), np.float32)
+        ker = np.asarray(fast_score_pallas(img, 7.0, interpret=True, nms=True),
+                         np.float32)
+        m = 5
+        np.testing.assert_array_equal(ker[:, m:-m, m:-m], ref[:, m:-m, m:-m])
+
+
+@pytest.mark.smoke
 def test_template_binds_per_instance(tmp_path):
     """A configured template must bind to ITS extractor only: a template-less
     instance created afterwards keeps the default descriptors (no module-
