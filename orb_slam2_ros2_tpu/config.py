@@ -107,6 +107,14 @@ class TrackingConfig:
     """Front-end state-machine knobs (reference: src/Tracking.cc)."""
 
     max_frames: int = 10  # KF cadence upper bound (MaxFrames)
+    # observation bar for nRefMatches (needNewKeyFrame's reference set).
+    # Original ORB-SLAM2 uses 3 once the map holds >2 KFs; THIS reference's
+    # rewrite counts >1 (Tracking.cc:735-746).  3 suppresses seed double-
+    # counting (r3: 2 KF-spammed on the forward worlds) but under sustained
+    # rotation it under-inserts — r4 sweep: max_frames=5-dense keyframes
+    # halve final circle ATE (0.71→0.41 m), so rotation-heavy configs should
+    # lower this to 2 or max_frames accordingly
+    n_ref_min_obs: int = 3
     # KF cadence lower bound (MinFrames).  The reference ships 0 and relies on
     # its LocalMapping thread being BUSY (several camera frames per KF) to
     # throttle the c1b idle-mapper term; our deferred mapping tail completes

@@ -292,7 +292,9 @@ def _best_ref_kf(state: MapState, mp_ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(counts).astype(jnp.float32)
 
 
-def _bookkeep_stats(mapstate: MapState, mp_ids: jnp.ndarray, ref_kf) -> jnp.ndarray:
+def _bookkeep_stats(
+    mapstate: MapState, mp_ids: jnp.ndarray, ref_kf, min_obs_bar: int = 3
+) -> jnp.ndarray:
     """Map-side per-frame stats vector [19]: best_ref, next_mp, nRefMatches,
     ref-KF pose (flat 16).  nRefMatches = reference-KF map points with ≥
     nMinObs observations.  Original ORB-SLAM2 uses nMinObs=3 once the map
@@ -307,7 +309,7 @@ def _bookkeep_stats(mapstate: MapState, mp_ids: jnp.ndarray, ref_kf) -> jnp.ndar
     rmp = mapstate.kf_mp_idx[rk]
     rmpc = jnp.clip(rmp, 0, mapstate.mp_capacity - 1)
     nkfs = jnp.sum(mapstate.kf_valid.astype(jnp.int32))
-    min_obs = jnp.where(nkfs <= 2, 2, 3)
+    min_obs = jnp.where(nkfs <= 2, 2, min_obs_bar)
     n_ref = jnp.sum((
         mapstate.kf_feat_valid[rk] & (rmp >= 0)
         & mapstate.mp_valid[rmpc]
@@ -541,7 +543,8 @@ class SLAM:
             # reference-KF pose rides along so the host can record the
             # frame's RELATIVE pose (mlRelativeFramePoses, Tracking.cc) for
             # the final-trajectory export without an extra fetch
-            bk = _bookkeep_stats(mapstate2, new_state.mp_ids, ref_kf)
+            bk = _bookkeep_stats(mapstate2, new_state.mp_ids, ref_kf,
+                                 min_obs_bar=t.n_ref_min_obs)
             n_stat = host_vec.shape[0] - 16
             host_vec = jnp.concatenate(
                 [host_vec[:n_stat], bk[:3], host_vec[n_stat:], bk[3:]]
@@ -724,7 +727,8 @@ class SLAM:
                 stats + the frame-centered snapshot refresh — everything of
                 ``_frame_program`` that touches the map, on the map's chip."""
                 mapstate2 = bump_tracking_counters(mapstate, local, visible, found)
-                hv1 = _bookkeep_stats(mapstate2, mp_ids, ref_kf)
+                hv1 = _bookkeep_stats(mapstate2, mp_ids, ref_kf,
+                                      min_obs_bar=t.n_ref_min_obs)
                 local2 = _lmsf(mapstate2, mp_ids, max_kfs=t.max_local_keyframes,
                                max_mps=t.max_local_mappoints)
                 return mapstate2, hv1, local2
