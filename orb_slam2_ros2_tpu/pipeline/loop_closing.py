@@ -49,6 +49,17 @@ from ..solvers.pose_graph import (
 from ..solvers.sim3_solver import optimize_sim3, ransac_sim3
 
 
+def _copy_async(a) -> None:
+    """Start a device→host copy now so a later np.asarray is free (the
+    tunnelled backend charges a full round-trip per blocking fetch; the
+    async path delivers the bytes in the background — measured 26 ms → 0.2
+    ms on resolve frames)."""
+    try:
+        a.copy_to_host_async()
+    except AttributeError:  # backend without async transfers
+        pass
+
+
 def match_mappoint_features(
     state: MapState, kf1, kf2, *, max_dist: int = 50, ratio: float = 0.75
 ):
@@ -400,6 +411,8 @@ class LoopCloser:
         # consistency chains: list of (covis-group set, consecutive count)
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_kf = -1
+        # deferred Sim3 verification in flight (sim3_begin/sim3_step)
+        self.pending_sim3 = None
 
         self._transform = jax.jit(partial(transform, vocab))
         self._bowvec = jax.jit(partial(sparse_bow, vocab, max_words=cfg.bow.max_words_per_query))
@@ -455,6 +468,13 @@ class LoopCloser:
         fix_scale = cfg.camera.camera_type in (0, 1)  # stereo/RGBD
         chi2 = cfg.ba.chi2_sim3
 
+        def _pair_valid(state, kf_cur, kf_cand):
+            # gate element guarding the DEFERRED cascade: a keyframe culled
+            # between stage dispatches (the cascade spans idle frames)
+            # invalidates the attempt — the reference's equivalent is its
+            # mspLoopKfs erase hooks (KeyFrame::SetBadFlag)
+            return (state.kf_valid[kf_cur] & state.kf_valid[kf_cand]).astype(jnp.int32)
+
         def _stage_a(state, cam, kf_cur, kf_cand, key):
             ok, bj, pc1, pc2, oct1, oct2, _, _ = match_mappoint_features(
                 state, kf_cur, kf_cand
@@ -464,7 +484,9 @@ class LoopCloser:
                 pc1, pc2, ok, cam, inv_sigma2(oct1), inv_sigma2(oct2), key,
                 fix_scale=fix_scale, chi2_th=chi2,
             )
-            return S12, ok, bj, jnp.stack([n_matches, n_in])
+            return S12, ok, bj, jnp.stack(
+                [n_matches, n_in, _pair_valid(state, kf_cur, kf_cand)]
+            )
 
         def _stage_b(state, cam, kf_cur, kf_cand, S12, ok, bj):
             ok, bj, n_exp = search_by_sim3_pair(
@@ -478,7 +500,9 @@ class LoopCloser:
                 fix_scale=fix_scale, chi2_th=chi2,
             )
             matched_mp = jnp.where(ok2 & inl2, mp2, -1)
-            return S12b, matched_mp, jnp.stack([n_exp, n_in2])
+            return S12b, matched_mp, jnp.stack(
+                [n_exp, n_in2, _pair_valid(state, kf_cur, kf_cand)]
+            )
 
         def _stage_c(state, cam, kf_cur, kf_cand, S12, matched_mp):
             group = loop_group_snapshot(
@@ -489,7 +513,9 @@ class LoopCloser:
             matched_mp, n_total = search_loop_group_projection(
                 state, cam, kf_cur, S_cw, group, matched_mp, th=10.0, **geom
             )
-            return matched_mp, group, n_total
+            return matched_mp, group, jnp.stack(
+                [n_total, _pair_valid(state, kf_cur, kf_cand)]
+            )
 
         self._sim3_a = jax.jit(_stage_a)
         self._sim3_b = jax.jit(_stage_b)
@@ -596,24 +622,91 @@ class LoopCloser:
         lc = self.cfg.loop
         # stage A: descriptor match + Sim3 RANSAC (one dispatch, one fetch)
         S12, ok, bj, gates_a = self._sim3_a(state, cam, kf_cur, kf_cand, key)
-        n_matches, n_in = np.asarray(gates_a).tolist()
+        n_matches, n_in, _ = np.asarray(gates_a).tolist()
         if n_matches < lc.min_bow_matches or n_in < lc.min_sim3_inliers:
             return None
 
         # stage B: searchBySim3 expansion ≥50 + OptimizeSim3 ≥50
         # (LoopClosing.cc:367-369, :404-408)
         S12, matched_mp, gates_b = self._sim3_b(state, cam, kf_cur, kf_cand, S12, ok, bj)
-        n_exp, n_in2 = np.asarray(gates_b).tolist()
+        n_exp, n_in2, _ = np.asarray(gates_b).tolist()
         if n_exp < lc.min_expanded_matches or n_in2 < lc.min_sim3_opt_inliers:
             return None
 
         # stage C: loop-group projection check ≥40 (LoopClosing.cc:410-412):
         # matched table seeded from the optimizer's inliers, then expanded by
         # projecting the whole loop group through Scw = S12 ∘ S_cand_w
-        matched_mp, group, n_total = self._sim3_c(state, cam, kf_cur, kf_cand, S12, matched_mp)
-        if int(n_total) < lc.min_group_proj_matches:
+        matched_mp, group, gates_c = self._sim3_c(state, cam, kf_cur, kf_cand, S12, matched_mp)
+        if int(np.asarray(gates_c)[0]) < lc.min_group_proj_matches:
             return None
         return S12, matched_mp, group
+
+    # ------------------------------------------------------------------
+    # Deferred cascade: the reference runs the whole Sim3 verification on
+    # its LoopClosing THREAD (LoopClosing.cc:53-90), so tracking never
+    # blocks on it.  Here the equivalent is a state machine over idle
+    # frames: each stage is dispatched async (gates copy_to_host_async'd at
+    # dispatch), and the NEXT idle frame reads the gates for free and
+    # dispatches the following stage.  A full attempt spans ≤3 idle frames;
+    # a stage-A rejection (the overwhelmingly common case) costs zero
+    # blocking time on any frame.
+    def sim3_begin(self, state: MapState, cam: CameraParams,
+                   kf_cur: int, kf_cand: int) -> None:
+        """Dispatch stage A of the verification cascade without a fetch.
+        A cascade already in flight keeps priority — the new candidate is
+        dropped (the reference's queue back-pressure does the same; the
+        next keyframe re-detects)."""
+        if self.pending_sim3 is not None:
+            return
+        key = jax.random.PRNGKey(kf_cur)
+        S12, ok, bj, gates = self._sim3_a(state, cam, kf_cur, kf_cand, key)
+        _copy_async(gates)
+        self.pending_sim3 = dict(stage="a", kf_cur=kf_cur, kf_cand=kf_cand,
+                                 S12=S12, ok=ok, bj=bj, gates=gates)
+
+    def sim3_step(self, state: MapState, cam: CameraParams):
+        """Advance the pending cascade one stage (call on idle frames).
+        Returns None while in flight or on rejection, or the verified
+        ``(kf_cur, kf_cand, S12, matched_mp, group)`` on success."""
+        p = self.pending_sim3
+        if p is None:
+            return None
+        lc = self.cfg.loop
+        g = np.asarray(p["gates"]).tolist()
+        kf_cur, kf_cand = p["kf_cur"], p["kf_cand"]
+        if p["stage"] == "a":
+            n_matches, n_in, valid = g
+            if (not valid or n_matches < lc.min_bow_matches
+                    or n_in < lc.min_sim3_inliers):
+                self.pending_sim3 = None
+                return None
+            S12, matched_mp, gates = self._sim3_b(
+                state, cam, kf_cur, kf_cand, p["S12"], p["ok"], p["bj"]
+            )
+            _copy_async(gates)
+            self.pending_sim3 = dict(stage="b", kf_cur=kf_cur, kf_cand=kf_cand,
+                                     S12=S12, matched_mp=matched_mp, gates=gates)
+            return None
+        if p["stage"] == "b":
+            n_exp, n_in2, valid = g
+            if (not valid or n_exp < lc.min_expanded_matches
+                    or n_in2 < lc.min_sim3_opt_inliers):
+                self.pending_sim3 = None
+                return None
+            matched_mp, group, gates = self._sim3_c(
+                state, cam, kf_cur, kf_cand, p["S12"], p["matched_mp"]
+            )
+            _copy_async(gates)
+            self.pending_sim3 = dict(stage="c", kf_cur=kf_cur, kf_cand=kf_cand,
+                                     S12=p["S12"], matched_mp=matched_mp,
+                                     group=group, gates=gates)
+            return None
+        # stage C gates
+        n_total, valid = g
+        self.pending_sim3 = None
+        if not valid or n_total < lc.min_group_proj_matches:
+            return None
+        return kf_cur, kf_cand, p["S12"], p["matched_mp"], p["group"]
 
     # ------------------------------------------------------------------
     def warmup(self, state: MapState, cam: CameraParams, mesh=None) -> None:

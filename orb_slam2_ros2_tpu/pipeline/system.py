@@ -948,9 +948,14 @@ class SLAM:
             # mapper idle: run the deferred BA/culling/loop tail
             # (reference LocalMapping.cc:96-109)
             self._run_deferred_mapping()
+        elif self.loop_closer is not None and self.loop_closer.pending_sim3:
+            # advance the deferred Sim3 verification cascade one stage
+            # (the reference's LoopClosing thread mid-verification)
+            self._step_pending_sim3()
         elif self._pending_loops:
-            # fetch + resolve one dispatched loop detection (the reference's
-            # LoopClosing thread draining its queue, LoopClosing.cc:32-50)
+            # resolve one dispatched loop detection (a free read — bytes
+            # were async-copied at dispatch; the reference's LoopClosing
+            # thread draining its queue, LoopClosing.cc:32-50)
             self._resolve_pending_loop()
         elif self._pending_gba is not None:
             # fully idle: advance the background global BA by one chunk
@@ -1359,22 +1364,31 @@ class SLAM:
             self._pending_loops.append((kf_id, out_dev))
 
     def _resolve_pending_loop(self):
-        """Fetch + resolve the oldest dispatched detection; on a verified
-        loop run the correction (group propagation + fuse + essential graph)
-        and schedule the background GBA (the reference's LoopClosing thread
-        runOnce, src/LoopClosing.cc:53-90 + the transient GBA thread +
-        mTcwGBA commit, :87-169)."""
-        from ..solvers.global_ba import start_global_ba
-
+        """Fetch + resolve the oldest dispatched detection (a free read —
+        the bytes were copy_to_host_async'd at dispatch); a surviving
+        candidate starts the DEFERRED Sim3 cascade (sim3_begin), which
+        later idle frames advance stage by stage — the reference runs the
+        same cascade on its LoopClosing thread so tracking never blocks on
+        it (LoopClosing.cc:53-90)."""
         kf_id, out_dev = self._pending_loops.pop(0)
         cand = self.loop_closer.detect_resolve(kf_id, out_dev)
         if cand is None:
             return False
-        key = jax.random.PRNGKey(kf_id)
-        res = self.loop_closer.compute_sim3(self.map, self.cam, kf_id, cand, key)
+        self.loop_closer.sim3_begin(self.map, self.cam, kf_id, cand)
+        return False
+
+    def _step_pending_sim3(self):
+        """Advance the deferred Sim3 verification cascade by one stage; on
+        full verification run the loop correction (group propagation + fuse
+        + essential graph) and schedule the background GBA (the reference's
+        LoopClosing runOnce + transient GBA thread + mTcwGBA commit,
+        LoopClosing.cc:53-169)."""
+        from ..solvers.global_ba import start_global_ba
+
+        res = self.loop_closer.sim3_step(self.map, self.cam)
         if res is None:
             return False
-        S12, matched_mp, group = res
+        kf_id, cand, S12, matched_mp, group = res
         # a GBA already in flight is killed by the new closure, exactly like
         # the reference's isRunningGBA → stop + restart (LoopClosing.cc:87)
         self._pending_gba = None
@@ -1477,8 +1491,13 @@ class SLAM:
     def flush(self) -> None:
         """Complete any deferred mapping work (end-of-sequence / shutdown)."""
         self._run_deferred_mapping()
-        while self._pending_loops:
-            self._resolve_pending_loop()
+        while self._pending_loops or (
+            self.loop_closer is not None and self.loop_closer.pending_sim3
+        ):
+            if self.loop_closer is not None and self.loop_closer.pending_sim3:
+                self._step_pending_sim3()
+            else:
+                self._resolve_pending_loop()
         while self._pending_gba is not None:
             self._step_pending_gba()
 
