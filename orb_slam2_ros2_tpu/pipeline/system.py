@@ -28,7 +28,7 @@ from ..config import SLAMConfig
 from ..features.extractor import make_stereo_frontend, make_rgbd_frontend
 from ..features.frame import StereoFrame
 from ..geometry import se3
-from ..geometry.camera import CameraParams, unproject
+from ..geometry.camera import CameraParams, project, unproject
 from ..mapstate.local_map import LocalMap, bump_tracking_counters, local_map_snapshot
 from ..mapstate.map_state import MapState, empty_map, insert_keyframe
 from ..mapstate.mapping import (
@@ -106,8 +106,18 @@ def slam_track_step(
     _scope = jax.named_scope
     last_has_mp = last.mp_ids >= 0
     # temp 3D for last frame features without map points (processLastFrame,
-    # Tracking.cc:685-694): stereo unprojection at the last pose
-    last_depth_ok = last.frame.feats.valid & (last.frame.depth > 0)
+    # Tracking.cc:685-694): stereo unprojection at the last pose.  Original
+    # ORB-SLAM2 UpdateLastFrame gates these to CLOSE depth (< baseline·
+    # ThDepth) + the nearest-100 floor; far single-view stereo depth is
+    # untrustworthy (see insert_keyframe's seeding note — aliased far
+    # disparity measured at ~13% >10%-error on the circle world)
+    _ldep = last.frame.depth
+    _lseed = last.frame.feats.valid & (_ldep > 0)
+    _lclose = _lseed & (_ldep < depth_threshold)
+    _lneed = jnp.maximum(100 - jnp.sum(_lclose.astype(jnp.int32)), 0)
+    _lfar_d = jnp.where(_lseed & ~_lclose, _ldep, jnp.inf)
+    _lrank = jnp.argsort(jnp.argsort(_lfar_d))
+    last_depth_ok = _lclose | (jnp.isfinite(_lfar_d) & (_lrank < _lneed))
     pc_last = unproject(cam, last.frame.feats.uv, jnp.where(last_depth_ok, last.frame.depth, 1.0))
     pw_temp = se3.apply(se3.inverse(last.Tcw), pc_last)
     pw_last = jnp.where(
@@ -127,11 +137,22 @@ def slam_track_step(
     lo, hi = matcher.forward_backward_octaves(prev_feats.octave, z_forward, baseline, n_levels)
     dist1 = hamming_matrix(prev_feats.desc, cur.feats.desc)
 
+    # search around each point's PREDICTED projection through the motion
+    # model (ORBMatcher::SearchByProjection(Frame&,Frame&,th), used by
+    # trackMotionModel, Tracking.cc:381-406) — NOT around the last frame's
+    # pixel.  Centering on the stale pixel admits periodic-texture aliases:
+    # under ~20 px/frame rotational flow over ~20 px texture blocks the true
+    # match leaves the radius while the one-block-off alias sits at ~0 px,
+    # and stage 1 latches onto the shifted lattice with hundreds of
+    # consistent wrong matches (measured: the f195-203 yaw-slip episodes on
+    # the full-size circle world, −2°/frame with 500 'inliers').
+    uv_pred, in_front = project(cam, se3.apply(Tcw_pred, pw_last))
+
     def _motion_match(r):
         cand = matcher.area_candidates(
-            prev_feats.uv, prev_feats.octave, cur.feats, r, lo, hi, scale_factor
+            uv_pred, prev_feats.octave, cur.feats, r, lo, hi, scale_factor
         )
-        cand = cand & prev_feats.valid[:, None] & prev_usable[:, None]
+        cand = cand & (prev_feats.valid & prev_usable & in_front)[:, None]
         m = matcher.best_match(dist1, cand, max_dist, ratio_track)
         keep = matcher.rotation_consistency(
             prev_feats.angle, cur.feats.angle[jnp.maximum(m.idx, 0)], m.found
