@@ -47,11 +47,17 @@ def map_bytes(state) -> int:
 
 
 def main():
-    n_frames = int(os.environ.get("SCALE_FRAMES", 1700))
+    n_frames = int(os.environ.get("SCALE_FRAMES", 3200))
     lap = int(os.environ.get("SCALE_LAP", 800))
     cfg = SLAMConfig()
     cfg = cfg.replace(
-        tracking=dc.replace(cfg.tracking, th_depth=60.0),
+        # eager keyframing (thRefRatio -> inf makes c2 vacuous, so the
+        # c1b idle-mapper term inserts every ~3rd frame): the point of this
+        # run is map-LENGTH scaling, so drive insertion hard — at the stock
+        # gates the fixed tracker holds ratio > thRefRatio nearly everywhere
+        # on this world and the run never leaves ~30 KFs
+        tracking=dc.replace(cfg.tracking, th_depth=60.0, ref_ratio_th=1e9,
+                            min_frames=2, max_frames=5),
         # start SMALL so the run crosses ≥2 doublings and the in-system
         # PCG essential-graph threshold (DENSE_MAX_K=256) on the way up
         map=MapConfig(max_keyframes=160, max_mappoints=1 << 15,

@@ -107,6 +107,11 @@ class TrackingConfig:
     """Front-end state-machine knobs (reference: src/Tracking.cc)."""
 
     max_frames: int = 10  # KF cadence upper bound (MaxFrames)
+    # c2 tracked-ratio threshold (the reference's thRefRatio — ratioTh=0.75
+    # for stereo/RGBD, Tracking.cc:783; the single-KF 0.4 floor is kept
+    # hardcoded).  Raising it toward 1.0 inserts keyframes more eagerly —
+    # used by the scale proof to drive a long run to 500+ keyframes
+    ref_ratio_th: float = 0.75
     # observation bar for nRefMatches (needNewKeyFrame's reference set).
     # Original ORB-SLAM2 uses 3 once the map holds >2 KFs; THIS reference's
     # rewrite counts >1 (Tracking.cc:735-746).  3 suppresses seed double-

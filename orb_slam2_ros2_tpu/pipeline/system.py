@@ -1191,7 +1191,7 @@ class SLAM:
         c1a = self.frames_since_kf > t.max_frames
         c1b = self.frames_since_kf > t.min_frames and idle
         c1c = ratio < 0.25 or need_close
-        ratio_th = 0.4 if self._n_kf < 2 else 0.75
+        ratio_th = 0.4 if self._n_kf < 2 else t.ref_ratio_th
         # NOTE: this reference has no minimum-inlier guard on c2 (original
         # ORB-SLAM2's `mnMatchesInliers > 15` was dropped, Tracking.cc:785-790)
         # — under tracking decay the close-point term inserts a rescuing KF
