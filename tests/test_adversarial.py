@@ -24,7 +24,12 @@ from orb_slam2_ros2_tpu.pipeline.system import SLAM
 
 pytestmark = pytest.mark.slow
 
-LAP = 56
+# 80-frame lap = 4.5°/frame yaw — still ~40× KITTI's rotation rate, but
+# inside the regime where the final-trajectory ATE bound below is
+# meaningful (at the old 56-frame lap's 6.4°/frame the system measures
+# ~2× worse; the full-size validation worlds at 1.6°/frame measure
+# 0.03-0.2% of path)
+LAP = 80
 N_FRAMES = 2 * LAP + 8  # two laps + a little revisit margin
 
 
@@ -33,11 +38,11 @@ def cfg():
     return SLAMConfig(
         camera=CameraConfig(fx=200.0, fy=200.0, cx=160.0, cy=96.0, baseline=0.5,
                             width=320, height=192),
-        orb=ORBConfig(n_features=600, max_keypoints=768),
+        orb=ORBConfig(n_features=1200, max_keypoints=1536),
         tracking=TrackingConfig(min_init_depth_kps=60, max_local_mappoints=4096,
                                 max_local_keyframes=16, motion_search_radius=35.0,
-                                # 600-feature budget + adversarial degradation: the
-                                # reference's 30/30 gates scale to 15/15 here
+                                # reduced budget + adversarial degradation:
+                                # the reference's 30/30 gates scale to 15/15
                                 min_localmap_matches=15, min_localmap_inliers=15,
                                 min_frames=1),
         map=MapConfig(max_keyframes=128, max_mappoints=32768, max_obs_per_mp=16),
@@ -70,7 +75,23 @@ def test_adversarial_tracks_with_bounded_ate(adversarial_run):
     slam, ds, est, gt, closures = adversarial_run
     total_dist = N_FRAMES * (2 * np.pi * 4.0 / LAP)
     ate = ate_rmse(est, gt)
-    assert ate < 0.06 * total_dist, f"adversarial ATE {ate:.3f} over {total_dist:.1f} m"
+    # live poses may carry pre-closure drift (this world's 4.5°/frame yaw +
+    # sky/flicker/distractors produce real hard stretches); the loop closure
+    # corrects the map mid-run, so the live bound stays loose
+    assert ate < 0.05 * total_dist, f"adversarial live ATE {ate:.3f} over {total_dist:.1f} m"
+    # ≤3% of path on the FINAL exported trajectory (SaveTrajectoryKITTI
+    # semantics — what the reference's KITTI evaluations measure; closure +
+    # essential-graph + GBA corrections apply to the whole path).  This
+    # scaled-down world turns 4.5°/frame (~40× KITTI's rotation rate) at a
+    # 1200-feature budget and measures ~2.6%; the full-size validation
+    # worlds at 1.6°/frame measure 0.03-0.2% (VALIDATION.md), the
+    # reference class on KITTI being ~1%
+    fin = dict(slam.final_trajectory())
+    pairs = [(np.linalg.inv(fin[i]), gt[i]) for i in range(N_FRAMES)
+             if i in fin and est[i] is not None]
+    ate_final = ate_rmse([p[0] for p in pairs], [p[1] for p in pairs])
+    assert ate_final < 0.03 * total_dist, (
+        f"adversarial final ATE {ate_final:.3f} over {total_dist:.1f} m")
 
 
 def test_adversarial_true_loop_closure(adversarial_run):
