@@ -56,7 +56,11 @@ def main():
         # run is map-LENGTH scaling, so drive insertion hard — at the stock
         # gates the fixed tracker holds ratio > thRefRatio nearly everywhere
         # on this world and the run never leaves ~30 KFs
-        tracking=dc.replace(cfg.tracking, th_depth=60.0, ref_ratio_th=1e9,
+        # ThDepth=160 (close < 80 m): this big world's content sits at
+        # 30-80 m — the reference's own per-dataset ThDepth tuning (35
+        # KITTI / 40 TUM); at 60 the close-seed gate starves the map and
+        # tracking dies by frame ~92
+        tracking=dc.replace(cfg.tracking, th_depth=160.0, ref_ratio_th=1e9,
                             min_frames=2, max_frames=5),
         # start SMALL so the run crosses ≥2 doublings and the in-system
         # PCG essential-graph threshold (DENSE_MAX_K=256) on the way up

@@ -158,6 +158,14 @@ class MappingConfig:
     """LocalMapping knobs (reference: src/LocalMapping.cc)."""
 
     mp_cull_score: float = 0.25      # found/visible ratio gate (LocalMapping.cc:686)
+    # stereo-seed floor: CLOSE features (depth < baseline*ThDepth) always
+    # seed map points; far features top up to this many NEAREST-first when
+    # close runs short (original ORB-SLAM2 CreateNewKeyFrame's 100).  Far
+    # single-view stereo depth is untrustworthy (block-texture aliasing —
+    # see map_state.insert_keyframe); scenes whose content sits mostly past
+    # ThDepth should raise ThDepth per dataset (the reference ships 35
+    # KITTI / 40 TUM) rather than this floor
+    seed_far_floor: int = 100
     kf_cull_ratio: float = 0.9       # 90% redundancy gate (LocalMapping.cc:613)
     # covisible neighbours examined per cull pass (reference checks all;
     # the top-6 by weight are the only plausibly-redundant ones)

@@ -572,13 +572,24 @@ def fuse_keyframe_into_neighbors(
     touched = jnp.where(base_valid & st.mp_valid[mpc], mp, -1)
     st = _distill_descriptors(st, touched)
     st = _update_normals_and_depth(st, touched, scale_factor, n_levels)
+    # covisibility refresh of all touched keyframes in ONE batched pass:
+    # the rows depend only on the post-apply observation index, so the old
+    # per-neighbour sequential at[].set chain (2·J scatters) collapses to a
+    # vmapped row computation + one masked scatter each way
     covis = st.covis
-    for j in range(n_neighbors):
-        kn = nb_ids[j]
-        row = _covis_row_for_kf(st._replace(covis=covis), kn)
-        keep = (nb_w[j] > 0) & (kn != kf_id)
-        row = jnp.where(keep, row, covis[kn])
-        covis = covis.at[kn, :].set(row).at[:, kn].set(row)
+    rows = jax.vmap(lambda kn: _covis_row_for_kf(st, kn))(nb_ids)  # [J, K]
+    keep = ok_nb & (nb_w > 0)
+    rows = jnp.where(keep[:, None], rows, covis[nb_ids])
+    safe_ids = jnp.where(keep, nb_ids, K)  # drop invalid rows
+    covis = covis.at[safe_ids, :].set(rows, mode="drop")
+    # column update as a transposed row-scatter (axis-0 only — the mixed
+    # slice+array .at[:, ids] form scatters with numpy-incompatible axis
+    # placement), then an order-independent symmetric combine: two updated
+    # neighbours' counts of each other can differ by a few when fuse left
+    # stale backlinks (the count runs over each side's OWN kf_mp_idx), and
+    # the old sequential loop resolved the conflict by write order
+    covis = covis.T.at[safe_ids, :].set(rows, mode="drop").T
+    covis = jnp.maximum(covis, covis.T)
     st = st._replace(covis=covis)
     row = _covis_row_for_kf(st, kf_id)
     covis = st.covis.at[kf_id, :].set(row).at[:, kf_id].set(row)

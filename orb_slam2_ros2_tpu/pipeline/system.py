@@ -652,6 +652,7 @@ class SLAM:
                 depth_threshold=c.baseline * t.th_depth,
                 scale_factor=o.scale_factor, n_levels=o.n_levels,
                 min_covis_weight=mp.min_covis_weight,
+                seed_floor=mp.seed_far_floor,
             )
             mapstate = cull_mappoints(mapstate, kf_id, cull_score=mp.mp_cull_score)
             mapstate = triangulate_new_points(
