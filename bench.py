@@ -127,12 +127,24 @@ def _bench_local_ba(cam) -> float:
     fn = jax.jit(lambda p: solve_ba_points(
         CameraParams.from_config(SLAMConfig().camera), p, phase_iters=(2, 3))[0])
     np.asarray(fn(prob))  # compile
+    # each timed rep syncs → carries one tunnel round-trip; measure and
+    # subtract it so the number is device time (r4 VERDICT next#7: the
+    # 43 ms BENCH_r04 figure was ~18 ms device + ~25 ms RTT)
+    probe = jax.jit(lambda a: a + 1)
+    x = jnp.zeros((4,), jnp.float32)
+    np.asarray(probe(x))
+    rtts = []
+    for _ in range(6):
+        t = time.perf_counter()
+        np.asarray(probe(x))
+        rtts.append(time.perf_counter() - t)
+    rtt = float(np.median(rtts))
     best = 1e9
     for _ in range(3):
         t = time.perf_counter()
         np.asarray(fn(prob))
         best = min(best, time.perf_counter() - t)
-    return round(best * 1000.0, 2)
+    return round(max(best - rtt, 1e-4) * 1000.0, 2)
 
 
 def main():
@@ -281,6 +293,22 @@ def main():
         print(json.dumps({"full_slam": json.loads(out_line)}), file=sys.stderr)
     except Exception as e:  # noqa: BLE001 — best-effort secondary metric
         log(f"full-SLAM secondary bench unavailable: {e!r}")
+
+    # ---- match-quality gate (r4 VERDICT next#3): speed wins must not keep
+    # trading away inliers silently.  Median tracked inliers at bench scale
+    # below the floor fails the bench (nonzero exit AFTER the metrics are
+    # out, so the driver records both the numbers and the failure).
+    INLIER_FLOOR = 300
+    gate = {
+        "median_inliers_floor": INLIER_FLOOR,
+        "median_inliers": int(np.median(n_ins)),
+        "pass": bool(np.median(n_ins) >= INLIER_FLOOR),
+    }
+    print(json.dumps({"quality_gate": gate}), file=sys.stderr)
+    if not gate["pass"]:
+        log(f"QUALITY GATE FAILED: median inliers {gate['median_inliers']} "
+            f"< floor {INLIER_FLOOR}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -45,14 +45,26 @@ def main():
     # permanent close-point starvation (needClose) and keyframe-spams;
     # ThDepth=60 puts the 10-35 m structure in the close band
     cfg = SLAMConfig()
-    cfg = cfg.replace(tracking=_dc.replace(cfg.tracking, th_depth=60.0))
+    # pipelined=True is the deployment mode: the per-frame device→host fetch
+    # and host decision logic overlap the next frame's device execution
+    # (tracking.pipelined docs; BENCH r4 showed 24.9 ms of the 71.7 ms frame
+    # was tunnel RTT the device spent idle)
+    cfg = cfg.replace(tracking=_dc.replace(cfg.tracking, th_depth=60.0,
+                                           pipelined=True))
+    # alternate the BA / KF-cull halves of the mapping tail (they dominate
+    # its ~43 ms device cost; the reference trades the same way under load
+    # via setAbortBA + idle-queue culling, LocalMapping.cc:96-109)
+    cfg = cfg.replace(mapping=_dc.replace(cfg.mapping, ba_stride=2,
+                                          kf_cull_stride=2))
     # box_scale=2.5 gives the world KITTI-00 depth statistics (facades
     # 10-30 m); the default close-quarters box (walls ≤ 8 m) drives the
     # reference's close-point KF term permanently and measures a harder-
     # than-KITTI keyframe cadence
     ds = SyntheticStereoDataset(cfg.camera, n_frames=N_FRAMES + 42, speed=0.8,
                                 box_scale=2.5, sky=True)
-    frames = [ds.frame(i)[:2] for i in range(N_FRAMES + 40)]
+    raw = [ds.frame(i) for i in range(N_FRAMES + 40)]
+    frames = [(l, r) for l, r, _ in raw]
+    gt_twc = {i: np.asarray(g) for i, (_, _, g) in enumerate(raw)}
     jax.block_until_ready(frames[-1][0])
     log("rendered")
 
@@ -105,11 +117,38 @@ def main():
     def pct(a, q):
         return round(float(np.percentile(a, q)), 1) if len(a) else None
 
+    # ---- ATE-at-speed gate (r4 VERDICT next#3): the throughput number is
+    # only valid if the trajectory it produced stays in the accuracy class.
+    # Live ATE < 5% of path length; final (relative-pose × optimized-KF
+    # export) < 3% — the same bounds CI enforces (tests/test_adversarial.py).
+    from orb_slam2_ros2_tpu.io.trajectory import ate_rmse
+
+    def _ate(pairs):
+        est = [np.linalg.inv(T) for f, T in pairs if f in gt_twc]
+        gt = [gt_twc[f] for f, _T in pairs if f in gt_twc]
+        return ate_rmse(est, gt) if len(est) >= 3 else float("nan")
+
+    ate_live = _ate(slam.trajectory)
+    ate_final = _ate(slam.final_trajectory())
+    fids = sorted(f for f, _ in slam.trajectory if f in gt_twc)
+    path_len = float(sum(
+        np.linalg.norm(gt_twc[b][:3, 3] - gt_twc[a][:3, 3])
+        for a, b in zip(fids, fids[1:])
+    ))
+    ate_gate_pass = bool(
+        path_len > 0 and ate_live < 0.05 * path_len
+        and ate_final < 0.03 * path_len
+    )
+
     out = {
         "metric": "kitti_size_full_slam_fps",
         "value": round(fps, 2),
         "unit": "frames/s",
         "detail": {
+            "ate_live_m": round(float(ate_live), 3),
+            "ate_final_m": round(float(ate_final), 3),
+            "path_len_m": round(path_len, 1),
+            "ate_gate_pass": ate_gate_pass,
             "ms_per_frame": round(ms, 2),
             "tunnel_rtt_ms": round(rtt * 1000.0, 2),
             "ms_per_frame_minus_rtt": round(ms_device, 2),
@@ -128,6 +167,10 @@ def main():
         },
     }
     print(json.dumps(out))
+    if not ate_gate_pass:
+        log(f"ATE GATE FAILED: live {ate_live:.2f} m / final {ate_final:.2f} m "
+            f"on a {path_len:.1f} m path")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

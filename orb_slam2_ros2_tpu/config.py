@@ -137,6 +137,18 @@ class TrackingConfig:
     min_localmap_inliers: int = 30
     min_localmap_inliers_reloc: int = 50
     only_tracking: bool = False
+    # Pipelined steady-state tracking (deployment mode): ``track()``
+    # dispatches the current frame's program speculatively and resolves the
+    # PREVIOUS frame's result while the device works, so the per-frame
+    # device→host fetch and all host decision logic overlap the next frame's
+    # device execution (on a tunnelled backend this hides the full network
+    # round-trip).  ``track()`` then returns the previous frame's pose — one
+    # frame of latency, the same lag the reference's tracking→mapping thread
+    # handoff has (LocalMapping.cc:721-726).  Weak/LOST frames are detected
+    # one frame late; the speculative successor is re-dispatched from the
+    # corrected state.  Off by default: tests and latency-critical callers
+    # keep the synchronous contract.
+    pipelined: bool = False
     # abort with FeatureLessError after this many consecutive failed stereo
     # initializations (the reference spins in NOT_INITING forever; ours fails
     # fast — a camera producing featureless frames is a setup error)
@@ -201,6 +213,15 @@ class MappingConfig:
     # default: the attaches are what mature fresh points' observation counts;
     # measured on the circle stress sequence, backward merges cost ~1.8× ATE)
     backward_fuse_merge: bool = False
+    # mapping-tail strides (r5 perf): run the local BA only on every
+    # ``ba_stride``-th keyframe and the redundancy KF-cull only on every
+    # ``kf_cull_stride``-th (offset so they alternate at 2/2) — the two
+    # dominate the deferred tail (~35 ms BA + ~14 ms cull of ~43 ms on TPU,
+    # profile_kf r5).  The reference's LocalMapping makes the same trade
+    # implicitly: under keyframe load its BA aborts (setAbortBA) and culling
+    # waits for an idle queue (LocalMapping.cc:96-109).  1/1 = every tail.
+    ba_stride: int = 1
+    kf_cull_stride: int = 1
 
 
 @dataclass(frozen=True)
@@ -214,6 +235,18 @@ class LoopConfig:
     min_sim3_opt_inliers: int = 50
     min_group_proj_matches: int = 40
     essential_graph_weight: int = 100  # covis weight for essential graph (LoopClosing.cc:536)
+    # Frame-level loop queries in the starved-keyframe regime (r4 VERDICT
+    # next#4: loop recall starves when tracking is too accurate to mint
+    # keyframes — the c2 ratio gate blocks insertion, so the per-KF
+    # consistency chains never reach consistency_th during a revisit).  When
+    # frames_since_kf exceeds MaxFrames (c1a fired but c2 blocked), every
+    # ``frame_query_stride``-th idle frame queries the loop database with the
+    # CURRENT FRAME's BoW vector (no DB registration), anchored at the
+    # tracking reference keyframe; the detections feed the same consistency
+    # chains.  The reference runs detection on every KF it gets
+    # (LoopClosing.cc:218-282) and its cadence never collapses this far —
+    # frame queries restore that detection density.  0 disables.
+    frame_query_stride: int = 2
     # damped-GN iterations per global-BA phase after a loop (reference runs
     # 10 g2o iterations, LoopClosing.cc:95; our PCG-Schur converges in fewer)
     global_ba_phase_iters: Tuple[int, int] = (3, 3)

@@ -440,6 +440,23 @@ class LoopCloser:
             return db, jnp.concatenate([cand_ids[:, None], rows], axis=1)
 
         self._add_detect_prog = jax.jit(_add_and_detect_program, donate_argnums=(0,))
+
+        def _frame_detect_program(db, state, desc, valid, ref_kf):
+            """Loop-candidate query from a FRAME's descriptors (no DB
+            registration), anchored at the tracking reference keyframe for
+            the connected-KF exclusion — detection density for the
+            starved-keyframe regime (LoopConfig.frame_query_stride)."""
+            words = transform(vocab, desc, valid)
+            q = sparse_bow(vocab, words, cfg.bow.max_words_per_query)
+            cand_ids, scores = find_loop_candidates(
+                db, state, q, ref_kf, n_candidates=5, n_words=vocab.n_words,
+                min_covis_weight=cfg.mapping.min_covis_weight,
+            )
+            rows = state.covis[jnp.clip(cand_ids, 0, state.kf_capacity - 1)]
+            rows = jnp.where((cand_ids >= 0)[:, None], rows, 0)
+            return jnp.concatenate([cand_ids[:, None], rows], axis=1)
+
+        self._frame_detect_prog = jax.jit(_frame_detect_program)
         self._match = jax.jit(partial(match_mappoint_features))
         self._pose_graph = jax.jit(partial(optimize_pose_graph, iters=20))
         # the whole essential-graph stage as ONE program: its body is ~200
@@ -566,6 +583,22 @@ class LoopCloser:
         try:
             out_dev.copy_to_host_async()
         except AttributeError:  # backend without async transfers
+            pass
+        return out_dev
+
+    def detect_frame_async(self, state: MapState, desc, valid, ref_kf: int):
+        """Frame-level candidate query (starved-KF regime): dispatched
+        without a host fetch, resolved later through the same pending FIFO
+        and consistency chains as keyframe detections.  Returns None while
+        suppressed (map too young / recent closure)."""
+        if ref_kf < 10 or ref_kf - self.last_loop_kf < 10:
+            return None
+        out_dev = self._frame_detect_prog(
+            self.db, state, desc, valid, jnp.asarray(ref_kf)
+        )
+        try:
+            out_dev.copy_to_host_async()
+        except AttributeError:
             pass
         return out_dev
 

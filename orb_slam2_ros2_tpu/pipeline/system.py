@@ -685,27 +685,41 @@ class SLAM:
 
         self._map_front = jax.jit(_map_front_program, donate_argnums=(0,))
 
-        def _map_tail_program(mapstate, kf_id, cam):
+        def _map_tail_program(mapstate, kf_id, cam, *, do_ba=True, do_cull=True):
             """The deferred mapping tail as ONE program: local BA + KF cull +
-            refreshed snapshot (LocalMapping.cc:96-109 idle work)."""
+            refreshed snapshot (LocalMapping.cc:96-109 idle work).  The
+            ``do_ba``/``do_cull`` static flags carve the stride variants
+            (mapping.ba_stride / kf_cull_stride): BA and cull dominate the
+            tail's device cost and alternate under stride 2/2."""
             Tcw_before = mapstate.kf_Tcw[kf_id]
-            mapstate = local_ba(
-                mapstate, kf_id, cam,
-                max_free=b.max_local_ba_kfs, max_fixed=b.max_local_ba_fixed,
-                max_points=b.local_ba_points,
-                chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
-                lam=b.lm_lambda_init, scale_factor=o.scale_factor,
-                phase_iters=tuple(b.local_ba_phase_iters),
-            )
-            mapstate = cull_keyframes(mapstate, kf_id, redundancy=mp.kf_cull_ratio,
-                                      n_candidates=mp.kf_cull_candidates)
+            if do_ba:
+                mapstate = local_ba(
+                    mapstate, kf_id, cam,
+                    max_free=b.max_local_ba_kfs, max_fixed=b.max_local_ba_fixed,
+                    max_points=b.local_ba_points,
+                    chi2_mono=b.chi2_mono, chi2_stereo=b.chi2_stereo,
+                    lam=b.lm_lambda_init, scale_factor=o.scale_factor,
+                    phase_iters=tuple(b.local_ba_phase_iters),
+                )
+            if do_cull:
+                mapstate = cull_keyframes(mapstate, kf_id,
+                                          redundancy=mp.kf_cull_ratio,
+                                          n_candidates=mp.kf_cull_candidates)
             local = local_map_snapshot(
                 mapstate, kf_id, max_kfs=t.max_local_keyframes,
                 max_mps=t.max_local_mappoints,
             )
             return mapstate, local, Tcw_before
 
-        self._map_tail = jax.jit(_map_tail_program, donate_argnums=(0,))
+        self._map_tail_variants = {
+            (ba, cull): jax.jit(
+                partial(_map_tail_program, do_ba=ba, do_cull=cull),
+                donate_argnums=(0,),
+            )
+            for ba in (True, False) for cull in (True, False)
+        }
+        self._map_tail = self._map_tail_variants[(True, True)]
+        self._tail_counter = 0
 
         # distributed global BA: shard landmark blocks over a device mesh when
         # configured (SURVEY §5.8; the single-chip path pays no collective)
@@ -800,6 +814,11 @@ class SLAM:
         # always-on per-frame wall-time log (no extra syncs — measured around
         # the frame's one host fetch), the reference's per-frame ms counter
         self.frame_times_ms: list = []
+        # pipelined-tracking state (tracking.pipelined): the dispatched-but-
+        # unresolved frame, and the carry result surfaced on pipeline restart
+        self._pipelined = bool(cfg.tracking.pipelined) and not self._split
+        self._inflight: Optional[tuple] = None
+        self._pipeline_carry: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     def _publish_local(self, local, refresh_view: bool = False) -> None:
@@ -884,6 +903,9 @@ class SLAM:
         if self.state == TrackState.LOST:
             frame = self._timed("frontend", self._frontend, img_left, img_right, self.cam)
             return self._relocalize(frame, fid)
+
+        if self._pipelined:
+            return self._track_pipelined(img_left, img_right, fid)
 
         t = self.cfg.tracking
         in_reloc_window = fid < self.last_reloc_fid + t.max_frames
@@ -983,6 +1005,11 @@ class SLAM:
             # fully idle: advance the background global BA by one chunk
             # (the reference's transient GBA thread, LoopClosing.cc:92-169)
             self._step_pending_gba()
+        elif self._want_frame_loop_query(fid):
+            # starved-keyframe regime: query the loop DB with THIS frame's
+            # BoW so consistency chains keep building between sparse KFs
+            # (r4 VERDICT next#4; see LoopConfig.frame_query_stride)
+            self._dispatch_frame_loop_query(new_state)
         if len(self._pending_loops) > 2:
             # keyframe-heavy stretches leave no idle frames: bound the
             # detection lag like the reference's blocking queue
@@ -999,6 +1026,165 @@ class SLAM:
         else:
             self._traj_rel.append((fid, rk_rec, pose @ _rigid_inv(ref_pose)))
         return pose, stats
+
+    # ------------------------------------------------------------------
+    # Pipelined steady-state tracking (tracking.pipelined=True)
+    # ------------------------------------------------------------------
+    def _track_pipelined(self, img_left, img_right, fid: int):
+        """Dispatch frame ``fid`` speculatively, then resolve frame ``fid−1``
+        while the device executes.  The per-frame device→host fetch (a full
+        network round-trip on a tunnelled backend) and all host-side decision
+        logic — weak check, keyframe decision, mapping dispatch — overlap the
+        NEXT frame's device work, so steady-state wall time approaches the
+        device-bound rate.  ``track()`` returns the PREVIOUS frame's pose
+        (one frame of latency; the reference's tracking→mapping thread
+        handoff has the same lag, LocalMapping.cc:721-726).  The final frame
+        resolves in ``flush()``.
+
+        A weak frame is detected one frame late: its speculative successor
+        (already dispatched from the not-yet-validated state) is either
+        re-dispatched from the fallback-corrected state or, on LOST, its
+        pose-independent frontend extraction feeds relocalization directly.
+        """
+        wide = fid < self.last_reloc_fid + 2
+        frame_fn = self._frame_reloc if wide else self._frame
+        new_state, velocity, host_vec, new_map = self._timed(
+            "track", frame_fn, self.cam, img_left, img_right, self.last,
+            self.velocity, self.local, self.map,
+            jnp.asarray(self.ref_kf, jnp.int32),
+        )
+        self.map = new_map
+        host_vec.copy_to_host_async()  # bytes travel while the host works
+        # frame-centered local-map refresh for the NEXT frame (buildLocalMap)
+        # — dispatched speculatively; a KF insertion at resolve time below
+        # republishes a fresher KF-centered snapshot over it
+        self.local = self._snapshot_frame(self.map, new_state.mp_ids)
+        prev, self._inflight = self._inflight, (
+            fid, new_state, velocity, host_vec, self.ref_kf,
+            (img_left, img_right),
+        )
+        self.last = new_state
+        self.velocity = velocity
+        if prev is None:
+            carry, self._pipeline_carry = self._pipeline_carry, None
+            return carry if carry is not None else (None, {"pipeline_fill": True})
+        return self._resolve_inflight(prev)
+
+    def _resolve_inflight(self, prev):
+        """Resolve one dispatched frame: fetch its stats vector (bytes were
+        async-copied at dispatch), run the weak/LOST gates, the keyframe
+        decision and the deferred-work scheduling — the host half of the
+        synchronous ``_track_impl``, one frame late."""
+        fid, new_state, velocity, host_vec, rk_rec, _imgs = prev
+        host = np.asarray(host_vec)
+        stats = dict(zip(STAT_KEYS, host[: len(STAT_KEYS)].astype(int).tolist()))
+        ns = len(STAT_KEYS)
+        pose = host[ns:ns + 16].reshape(4, 4).copy()
+        ref_pose = host[ns + 16:ns + 32].reshape(4, 4)
+        t = self.cfg.tracking
+        in_reloc_window = fid < self.last_reloc_fid + t.max_frames
+        min_inliers = max(t.min_track_inliers, t.min_localmap_inliers)
+        if in_reloc_window:
+            min_inliers = t.min_localmap_inliers_reloc
+        weak = (
+            stats["n_inliers"] < min_inliers
+            or stats["n_localmap_matches"] < t.min_localmap_matches
+        )
+        self._cur_frame_kf = None
+        if weak:
+            ok = self._track_reference(new_state.frame, stats,
+                                       Tcw0=new_state.Tcw)
+            if not ok:
+                self.state = TrackState.LOST
+                self._abandon_speculation()
+                return None, stats
+            new_state, velocity, Tcw = self._ref_result
+            stats["ref_fallback"] = 1
+            pose = np.asarray(Tcw)
+            self._redispatch_speculation(new_state, velocity)
+        else:
+            best = stats["best_ref_kf"]
+            if best >= 0:
+                self.ref_kf = best
+
+        self.frames_since_kf += 1
+        if self._need_keyframe(stats, fid):
+            self._insert_and_map(new_state, fid, stats)
+            # the successor frame was dispatched against the PRE-keyframe
+            # map: its statistics (tracked ratio, close-tracked count) would
+            # read depressed and over-mint follow-up keyframes (measured
+            # 26→40 KFs/80 frames), and its matches would miss every fresh
+            # seed.  Re-dispatch it from the keyframe's fused state — one
+            # wasted ~13 ms track program per KF buys back both quality and
+            # cadence (each spurious KF costs ~60 ms of mapping).
+            self._redispatch_speculation(self.last, velocity)
+        elif self._pending_kf is not None:
+            self._run_deferred_mapping()
+        elif self.loop_closer is not None and self.loop_closer.pending_sim3:
+            self._step_pending_sim3()
+        elif self._pending_loops:
+            self._resolve_pending_loop()
+        elif self._pending_gba is not None:
+            self._step_pending_gba()
+        elif self._want_frame_loop_query(fid):
+            self._dispatch_frame_loop_query(new_state)
+        if len(self._pending_loops) > 2:
+            self._resolve_pending_loop()
+
+        self.trajectory.append((fid, pose))
+        if self._cur_frame_kf is not None:
+            self._traj_rel.append((fid, self._cur_frame_kf,
+                                   np.eye(4, dtype=np.float32)))
+        else:
+            self._traj_rel.append((fid, rk_rec, pose @ _rigid_inv(ref_pose)))
+        return pose, stats
+
+    def _redispatch_speculation(self, corr_state: SlamFrame, corr_velocity):
+        """A weak frame's reference-KF fallback corrected the state AFTER its
+        successor was speculatively dispatched from the bad one — re-dispatch
+        that successor from the corrected state (its retained images are in
+        the inflight record).  The discarded first dispatch already bumped
+        the map's tracking counters against the bad pose: one frame of
+        slightly-wrong visible/found statistics, which the 0.25 cull ratio
+        cannot be flipped by (documented trade; rare — weak frames only)."""
+        if self._inflight is None:
+            return
+        sfid, _s_state, _s_vel, _s_hv, _s_rk, imgs = self._inflight
+        wide = sfid < self.last_reloc_fid + 2
+        frame_fn = self._frame_reloc if wide else self._frame
+        new_state, velocity, host_vec, new_map = frame_fn(
+            self.cam, imgs[0], imgs[1], corr_state, corr_velocity,
+            self.local, self.map, jnp.asarray(self.ref_kf, jnp.int32),
+        )
+        self.map = new_map
+        host_vec.copy_to_host_async()
+        self.local = self._snapshot_frame(self.map, new_state.mp_ids)
+        self._inflight = (sfid, new_state, velocity, host_vec, self.ref_kf, imgs)
+        self.last = new_state
+        self.velocity = velocity
+
+    def _abandon_speculation(self):
+        """The resolved frame went LOST: the speculative successor's tracking
+        is meaningless, but its frontend extraction is pose-independent —
+        feed it straight to relocalization.  A successful reloc result is
+        carried to the next ``track()`` call (which returns it, keeping the
+        one-frame-delay contract); a failed one is dropped — the synchronous
+        LOST path takes over per frame."""
+        if self._inflight is None:
+            return
+        sfid, s_state, *_ = self._inflight
+        self._inflight = None
+        res_pose, res_info = self._relocalize(s_state.frame, sfid)
+        if res_pose is not None:
+            self._pipeline_carry = (res_pose, res_info)
+
+    def _drain_pipeline(self) -> None:
+        """Resolve the pending inflight frame (end-of-stream / before any
+        synchronous operation that must observe final state)."""
+        if getattr(self, "_inflight", None) is None:
+            return
+        prev, self._inflight = self._inflight, None
+        self._resolve_inflight(prev)
 
     # ------------------------------------------------------------------
     def _initialize(self, frame: StereoFrame, fid: int):
@@ -1035,10 +1221,13 @@ class SLAM:
         self._traj_rel.append((fid, self.ref_kf, np.eye(4, dtype=np.float32)))
         return pose, {"initialized": True, "n_mappoints": int(self.map.next_mp)}
 
-    def _track_reference(self, frame: StereoFrame, stats: dict) -> bool:
+    def _track_reference(self, frame: StereoFrame, stats: dict,
+                         Tcw0=None) -> bool:
         """Reference-keyframe fallback tracking: dense descriptor match to the
         reference KF's map points + pose-only optimization from the LAST pose
-        (no motion model) — reference trackReference, Tracking.cc:360-371."""
+        (no motion model) — reference trackReference, Tracking.cc:360-371.
+        ``Tcw0`` overrides the initial pose (the pipelined resolver passes the
+        weak frame's own estimate; ``self.last`` has already advanced)."""
         from ..ops.hamming import hamming_matrix
 
         kf = self.ref_kf
@@ -1073,15 +1262,20 @@ class SLAM:
         )
         obs = PoseObs(pw=pw, uv=frame.feats.uv, right_u=frame.right_u,
                       inv_sigma2=inv_s2, is_stereo=frame.right_u > 0, valid=ok)
+        Tcw_init = self.last.Tcw if Tcw0 is None else Tcw0
         Tcw, inlier, n_in = optimize_pose(
-            self.cam, self.last.Tcw, obs,
+            self.cam, Tcw_init, obs,
             chi2_mono=self.cfg.ba.chi2_mono, chi2_stereo=self.cfg.ba.chi2_stereo,
         )
         if int(n_in) < self.cfg.tracking.min_track_inliers:
             return False
         mp_ids = jnp_.where(ok & inlier, mp, -1)
         new_state = SlamFrame(frame=frame, Tcw=Tcw, mp_ids=mp_ids)
-        velocity = Tcw @ se3.inverse(self.last.Tcw)
+        # velocity relative to the last frame; after a pipelined fallback the
+        # previous pose is no longer at hand — restart the motion model
+        # (identity velocity + the r→2r search retry recovers in one frame)
+        velocity = (Tcw @ se3.inverse(self.last.Tcw) if Tcw0 is None
+                    else jnp_.eye(4, dtype=jnp_.float32))
         stats["n_inliers"] = int(n_in)
         stats["n_tracked"] = int(jnp_.sum((mp_ids >= 0).astype(jnp_.int32)))
         self._ref_result = (new_state, velocity, Tcw)
@@ -1166,7 +1360,7 @@ class SLAM:
             chi2_mono=self.cfg.ba.chi2_mono, chi2_stereo=self.cfg.ba.chi2_stereo,
         )
 
-    def _need_keyframe(self, stats: dict) -> bool:
+    def _need_keyframe(self, stats: dict, fid: Optional[int] = None) -> bool:
         """Keyframe decision (reference needNewKeyFrame, Tracking.cc:721-804):
         c1a cadence / c1b min-cadence + idle mapper / c1c weak-tracking-or-
         close-point-need, gated by c2 (tracked ratio below 0.75 — 0.4 while
@@ -1177,7 +1371,9 @@ class SLAM:
             return False
         if self._n_kf >= self.map.kf_capacity - 1 and not self.cfg.map.auto_grow:
             return False
-        if self.frame_id - 1 <= self.last_reloc_fid + t.max_frames:
+        if fid is None:
+            fid = self.frame_id - 1
+        if fid <= self.last_reloc_fid + t.max_frames:
             return False
         # ratio = nCurrMps / nRefMps with the faithful nRefMatches computed
         # on-device (ref-KF points with >1 observation — Tracking.cc:735-775);
@@ -1199,7 +1395,8 @@ class SLAM:
         c2 = ratio < ratio_th or need_close
         return (c1a or c1b or c1c) and c2
 
-    def _insert_and_map(self, cur: SlamFrame, fid: int, stats: dict):
+    def _insert_and_map(self, cur: SlamFrame, fid: int, stats: dict,
+                        adopt_last: bool = True):
         """Keyframe insertion + the mapping front half (cull/triangulate/fuse).
 
         The reference runs tracking and mapping on separate threads
@@ -1238,9 +1435,13 @@ class SLAM:
             self._run_deferred_mapping()
         self.ref_kf = kf_id_i
         self._cur_frame_kf = kf_id_i  # this frame's trajectory record is I·KF
-        # the inserted KF *is* the current frame: adopt its (possibly fused)
-        # feature→map-point table as the tracker's reference
-        self.last = cur._replace(mp_ids=last_mp_ids, Tcw=last_Tcw)
+        if adopt_last:
+            # the inserted KF *is* the current frame: adopt its (possibly
+            # fused) feature→map-point table as the tracker's reference.  The
+            # pipelined resolver skips this — the tracker has already moved
+            # one frame past the inserted KF (the reference's mapping thread
+            # lags its tracker the same way, LocalMapping.cc:721-726)
+            self.last = cur._replace(mp_ids=last_mp_ids, Tcw=last_Tcw)
         self.frames_since_kf = 0
 
     def _grow(self, kf_capacity: Optional[int] = None, mp_capacity: Optional[int] = None):
@@ -1296,8 +1497,14 @@ class SLAM:
         kf_id_i, kf_id = self._pending_kf
         self._pending_kf = None
         self._kfs_since_ba = 0
+        mpcfg = self.cfg.mapping
+        self._tail_counter += 1
+        do_ba = (self._tail_counter % mpcfg.ba_stride) == 0
+        # offset the cull stride so BA and cull alternate at stride 2/2
+        do_cull = ((self._tail_counter + 1) % mpcfg.kf_cull_stride) == 0
+        tail_fn = self._map_tail_variants[(do_ba, do_cull)]
         self.map, local, kf_Tcw_before = self._timed(
-            "map_tail", self._map_tail, self.map, kf_id, self.cam
+            "map_tail", tail_fn, self.map, kf_id, self.cam
         )
         self._publish_local(local, refresh_view=True)
         if self.enable_loop_closing:
@@ -1384,6 +1591,37 @@ class SLAM:
         out_dev = self.loop_closer.detect_async(self.map, kf_id)
         if out_dev is not None:
             self._pending_loops.append((kf_id, out_dev))
+
+    def _want_frame_loop_query(self, fid: int) -> bool:
+        """Frame-level loop queries fire only in the starved-keyframe regime:
+        c1a's cadence bound has passed (frames_since_kf > MaxFrames) but the
+        c2 ratio gate keeps blocking insertion — accurate tracking that mints
+        no keyframes would otherwise starve the consistency chains
+        (r4 VERDICT next#4; reference detection density: LoopClosing.cc:
+        218-282 sees every keyframe at a never-collapsing cadence)."""
+        stride = self.cfg.loop.frame_query_stride
+        return (
+            stride > 0
+            and self.enable_loop_closing
+            and self.loop_closer is not None
+            and self.frames_since_kf > self.cfg.tracking.max_frames
+            and fid % stride == 0
+        )
+
+    def _dispatch_frame_loop_query(self, state: SlamFrame) -> None:
+        """Dispatch a frame-BoW loop-candidate query (no DB registration),
+        anchored at the tracking reference keyframe; the result joins the
+        pending FIFO and feeds the same consistency chains as keyframe
+        detections."""
+        feats = state.frame.feats
+        desc, valid = feats.desc, feats.valid
+        if self._split:
+            desc, valid = jax.device_put((desc, valid), self._d1)
+        out_dev = self.loop_closer.detect_frame_async(
+            self.map, desc, valid, int(self.ref_kf)
+        )
+        if out_dev is not None:
+            self._pending_loops.append((int(self.ref_kf), out_dev))
 
     def _resolve_pending_loop(self):
         """Fetch + resolve the oldest dispatched detection (a free read —
@@ -1512,6 +1750,7 @@ class SLAM:
     # ------------------------------------------------------------------
     def flush(self) -> None:
         """Complete any deferred mapping work (end-of-sequence / shutdown)."""
+        self._drain_pipeline()
         self._run_deferred_mapping()
         while self._pending_loops or (
             self.loop_closer is not None and self.loop_closer.pending_sim3
