@@ -65,35 +65,68 @@ class KeyFrameDB(NamedTuple):
 
 def sparse_bow(vocab: Vocabulary, word_ids: jnp.ndarray, max_words: int) -> BowVec:
     """Word histogram → top-``max_words`` tf-idf entries, L2-normalized over
-    the kept entries (replaces the dense ``bow_vector`` for the database)."""
+    the kept entries (replaces the dense ``bow_vector`` for the database).
+
+    Cost is O(N log N) in the DESCRIPTOR count, not the vocabulary size: the
+    word ids are sorted and run-length counted via two-sided searchsorted,
+    so no [W] dense histogram or top-k over W ever exists (r5: the dense
+    form's ``top_k`` over W=10⁵ was ~1/3 of the per-KF loop-detect program,
+    and W=10⁶ made it the dominant cost)."""
     W = vocab.n_words
-    counts = jnp.zeros((W + 1,), jnp.float32).at[
-        jnp.where(word_ids >= 0, word_ids, W)
-    ].add(1.0, mode="drop")[:W]
-    v = counts * vocab.idf
-    k = min(max_words, W)
-    top_w, top_i = jax.lax.top_k(v, k)
+    N = word_ids.shape[0]
+    s = jnp.sort(jnp.where(word_ids >= 0, word_ids, W))          # [N], W = pad
+    lo = jnp.searchsorted(s, s, side="left")
+    hi = jnp.searchsorted(s, s, side="right")
+    count = (hi - lo).astype(jnp.float32)                        # occurrences
+    first = jnp.arange(N) == lo                                  # one per word
+    valid = first & (s < W)
+    v = jnp.where(valid, count * vocab.idf[jnp.clip(s, 0, W - 1)], 0.0)
+    k = min(max_words, N)
+    top_w, top_i = jax.lax.top_k(v, k)                           # over [N]
     norm = jnp.linalg.norm(top_w)
     w = jnp.where(top_w > 0, top_w / jnp.maximum(norm, 1e-9), 0.0)
-    ids = jnp.where(top_w > 0, top_i.astype(jnp.int32), -1)
-    if k < max_words:  # tiny vocabulary: pad the row to the fixed width
+    ids = jnp.where(top_w > 0, s[top_i].astype(jnp.int32), -1)
+    if k < max_words:  # fewer descriptor slots than row width: pad
         pad = max_words - k
         ids = jnp.concatenate([ids, jnp.full((pad,), -1, jnp.int32)])
         w = jnp.concatenate([w, jnp.zeros((pad,), jnp.float32)])
     return BowVec(ids=ids, weights=w)
 
 
-def rebuild(vocab: Vocabulary, state: MapState, max_words: int = 1024) -> KeyFrameDB:
+def rebuild(vocab: Vocabulary, state: MapState, max_words: int = 1024,
+            chunk: int = 16) -> KeyFrameDB:
     """Recompute every valid keyframe's BoW row — the reference's database
-    refill after map load (System.cc:104-110), vmapped over keyframes."""
+    refill after map load (System.cc:104-110).
+
+    Keyframes are processed in ``chunk``-row batches under ``lax.map`` (NOT
+    one big vmap): the tree-descent transform materializes a
+    [rows, N, k, 256] f32 sign tensor per level, which at full keyframe
+    capacity × 2048 descriptors × a 10⁵-word vocabulary is ~20 GB — a vmap
+    over all slots OOMed a 16 GB TPU on ``SLAM.load()`` (r5).  Chunked, the
+    peak is ~chunk/K of that with identical results."""
     def one(desc, valid, kf_ok):
         words = transform(vocab, desc, valid & kf_ok)
         return sparse_bow(vocab, words, max_words)
 
-    rows = jax.vmap(one)(state.kf_desc, state.kf_feat_valid, state.kf_valid[:, None])
+    K = state.kf_desc.shape[0]
+    C = max(1, min(chunk, K))
+    pad = (-K) % C
+
+    def _pad(a):
+        if pad == 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+    desc = _pad(state.kf_desc).reshape(-1, C, *state.kf_desc.shape[1:])
+    fval = _pad(state.kf_feat_valid).reshape(-1, C, state.kf_feat_valid.shape[1])
+    kval = _pad(state.kf_valid).reshape(-1, C, 1)
+    rows = jax.lax.map(lambda t: jax.vmap(one)(*t), (desc, fval, kval))
+    ids = rows.ids.reshape(-1, rows.ids.shape[-1])[:K]
+    weights = rows.weights.reshape(-1, rows.weights.shape[-1])[:K]
     return KeyFrameDB(
-        word_ids=jnp.where(state.kf_valid[:, None], rows.ids, -1),
-        weights=jnp.where(state.kf_valid[:, None], rows.weights, 0.0),
+        word_ids=jnp.where(state.kf_valid[:, None], ids, -1),
+        weights=jnp.where(state.kf_valid[:, None], weights, 0.0),
     )
 
 

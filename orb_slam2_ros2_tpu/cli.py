@@ -45,6 +45,10 @@ def _build_cfg(args, width, height):
     cam = cfg.camera
     if (width, height) != (cam.width, cam.height):
         cfg = cfg.replace(camera=cam.__class__(**{**cam.__dict__, "width": width, "height": height}))
+    if getattr(args, "pipelined", False):
+        import dataclasses as _dc
+
+        cfg = cfg.replace(tracking=_dc.replace(cfg.tracking, pipelined=True))
     if getattr(args, "distributed", False):
         from .parallel.mesh import init_distributed
 
@@ -54,6 +58,17 @@ def _build_cfg(args, width, height):
         cfg = cfg.replace(dist=cfg.dist.__class__(n_devices=args.ba_devices,
                                                   mesh_axis=cfg.dist.mesh_axis))
     return cfg
+
+
+def _align_pipelined(slam, poses, n):
+    """Pipelined tracking returns poses one frame late — rebuild the
+    per-frame pose list from the resolve-time trajectory records so the
+    exported files stay frame-aligned."""
+    if not slam.cfg.tracking.pipelined:
+        return poses
+    slam.flush()
+    by_fid = {f: np.linalg.inv(T) for f, T in slam.trajectory}
+    return [by_fid.get(i) for i in range(n)]
 
 
 def run_stereo(dataset, cfg, args):
@@ -75,6 +90,7 @@ def run_stereo(dataset, cfg, args):
         if i % 50 == 0:
             print(f"frame {i}/{n}: {stats}", file=sys.stderr)
     wall = time.time() - t0
+    poses = _align_pipelined(slam, poses, n)
     return slam, poses, stamps, wall
 
 
@@ -154,6 +170,10 @@ def main(argv=None):
                             "SLAM_NUM_PROCESSES / SLAM_PROCESS_ID env vars)")
         q.add_argument("--ba-devices", type=int, default=0,
                        help="shard global BA landmark blocks over N devices")
+        q.add_argument("--pipelined", action="store_true",
+                       help="pipelined tracking (deployment mode): overlap "
+                            "the per-frame host fetch with the next frame's "
+                            "device execution; poses return one frame late")
     tv = sub.add_parser("train-vocab", help="train a BoW vocabulary offline "
                         "(replaces shipping DBoW3's ORBvoc, reference System.cc:92-95)")
     tv.add_argument("--out", default="vocab.npz")
@@ -210,6 +230,7 @@ def main(argv=None):
             poses.append(np.linalg.inv(Tcw) if Tcw is not None else None)
             stamps.append(stamp)
         wall = time.time() - t0
+        poses = _align_pipelined(slam, poses, n)
         from .io.datasets import associate_gt, load_tum_gt
 
         tum_gt = load_tum_gt(args.seq, args.gt)
@@ -235,6 +256,7 @@ def main(argv=None):
             if i % 50 == 0:
                 print(f"frame {i}/{n}: {stats}", file=sys.stderr)
         wall = time.time() - t0
+        poses = _align_pipelined(slam, poses, n)
 
     tracked = [p_ for p_ in poses if p_ is not None]
     out = {

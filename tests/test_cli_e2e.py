@@ -174,6 +174,26 @@ def test_cli_tum_layout_e2e(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_cli_kitti_pipelined_alignment(tmp_path, capsys):
+    """--pipelined returns poses one frame late; the exported trajectory
+    must still be frame-aligned (rebuilt from resolve-time records)."""
+    seq = tmp_path / "00"
+    n = 24
+    _write_kitti_layout(str(seq), n)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(CFG_YAML.format(cam_type=0))
+    out = str(tmp_path / "traj")
+    res = _run_cli(["kitti", "--seq", str(seq), "--config", str(cfg),
+                    "--out", out, "--pipelined"], capsys)
+    assert res["frames"] == n
+    assert res["tracked"] >= n - 2, res
+    # ATE evaluated on the ALIGNED export: misalignment by one frame at
+    # speed 0.55 m/frame would blow past this bound immediately
+    assert "ate_rmse" in res, res
+    assert res["ate_rmse"] < 0.05 * (n * 0.55), res
+
+
+@pytest.mark.slow
 def test_cli_kitti_save_and_reuse_map(tmp_path, capsys):
     """Map save at shutdown + localization-only reuse through the CLI
     (reference System.cc:98-110 + OnlyTracking)."""
