@@ -191,3 +191,50 @@ def test_tracking_robust_to_image_noise(cfg):
     assert len(est) >= 0.9 * n, f"tracked only {len(est)}/{n} noisy frames"
     ate = ate_rmse(est, gt)
     assert ate < 0.08 * (n * 0.35), f"noisy ATE {ate:.3f} m"
+
+
+@pytest.mark.slow
+def test_grow_to_4096_keyframes_and_insert(cfg):
+    """Trajectory-length scaling (SURVEY §5.7 / r4 VERDICT next#8): grow the
+    stores to K=4096 keyframe slots, run a keyframe insertion + local-map
+    snapshot + KF-cull pass at that capacity, and bound the memory of the
+    [K, K] covisibility (the one remaining dense-in-K² structure).  The
+    bounded-children reparenting keeps the cull pass's per-round work at
+    [C, K] rather than [K, K]."""
+    import dataclasses
+
+    import jax
+
+    from orb_slam2_ros2_tpu.mapstate.map_state import grow_map
+
+    small = cfg.replace(map=dataclasses.replace(
+        cfg.map, max_keyframes=8, max_mappoints=2048, auto_grow=True))
+    ds = SyntheticStereoDataset(small.camera, n_frames=6, speed=0.35)
+    slam = SLAM(small, enable_loop_closing=False)
+    for i in range(4):
+        imgL, imgR, _ = ds.frame(i)
+        slam.track(imgL, imgR)
+    slam.flush()
+    n_kf0 = slam.n_keyframes
+    assert n_kf0 >= 2
+
+    K = 4096
+    slam.map = grow_map(slam.map, kf_capacity=K, mp_capacity=65536)
+    slam._publish_local(slam._snapshot(slam.map, jnp.asarray(slam.ref_kf)))
+    if slam.loop_closer is not None:
+        slam.loop_closer.grow(K)
+    # covis memory at K=4096: 4096² × 4 B = 64 MB (256 MB at the 8k mark,
+    # 1 GB at 16k — the documented wall of the dense structure)
+    assert slam.map.covis.shape == (K, K)
+    assert slam.map.covis.nbytes == K * K * 4
+
+    # keyframe insertion + mapping front + deferred tail at K=4096 compile
+    # and run; ids are stable across the growth
+    for i in range(4, 6):
+        imgL, imgR, _ = ds.frame(i)
+        Tcw, stats = slam.track(imgL, imgR)
+        assert Tcw is not None, stats
+    slam.flush()
+    jax.block_until_ready(slam.map.kf_Tcw)
+    assert slam.map.kf_capacity == K
+    assert slam.n_keyframes >= n_kf0

@@ -203,7 +203,7 @@ def main():
 
     # ---- write VALIDATION.md ----------------------------------------------
     b, a, r = results["benign"], results["adversarial"], results["reloc"]
-    md = f"""# VALIDATION — adversarial synthetic worlds (round 4)
+    md = f"""# VALIDATION — adversarial synthetic worlds (round 5)
 
 No KITTI/TUM data exists in this environment (zero egress), so these numbers
 play the role the reference's KITTI/TUM runs play
