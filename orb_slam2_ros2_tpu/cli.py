@@ -71,6 +71,14 @@ def _align_pipelined(slam, poses, n):
     return [by_fid.get(i) for i in range(n)]
 
 
+def _make_viewer(slam, args):
+    if not getattr(args, "viewer", ""):
+        return None
+    from .viewer import LiveViewer
+
+    return LiveViewer(slam, every=args.viewer_every, out_dir=args.viewer)
+
+
 def run_stereo(dataset, cfg, args):
     import jax.numpy as jnp
 
@@ -79,6 +87,7 @@ def run_stereo(dataset, cfg, args):
     slam = SLAM(cfg)
     if args.load_map:
         slam.load(args.load_map)
+    viewer = _make_viewer(slam, args)
     poses, stamps = [], []
     t0 = time.time()
     n = min(len(dataset), args.frames) if args.frames else len(dataset)
@@ -87,10 +96,14 @@ def run_stereo(dataset, cfg, args):
         Tcw, stats = slam.track(jnp.asarray(left), jnp.asarray(right))
         poses.append(np.linalg.inv(Tcw) if Tcw is not None else None)
         stamps.append(stamp)
+        if viewer is not None:
+            viewer.update(Tcw)
         if i % 50 == 0:
             print(f"frame {i}/{n}: {stats}", file=sys.stderr)
     wall = time.time() - t0
     poses = _align_pipelined(slam, poses, n)
+    if viewer is not None:
+        viewer.close()
     return slam, poses, stamps, wall
 
 
@@ -174,6 +187,12 @@ def main(argv=None):
                        help="pipelined tracking (deployment mode): overlap "
                             "the per-frame host fetch with the next frame's "
                             "device execution; poses return one frame late")
+        q.add_argument("--viewer", default="",
+                       help="live viewer (reference Viewer.cc): render "
+                            "trajectory/map/graph/HUD every --viewer-every "
+                            "frames to this directory (and to a window when "
+                            "a display exists)")
+        q.add_argument("--viewer-every", type=int, default=10)
     tv = sub.add_parser("train-vocab", help="train a BoW vocabulary offline "
                         "(replaces shipping DBoW3's ORBvoc, reference System.cc:92-95)")
     tv.add_argument("--out", default="vocab.npz")
@@ -221,6 +240,7 @@ def main(argv=None):
         slam = SLAM(cfg, rgbd=True)
         if args.load_map:
             slam.load(args.load_map)
+        viewer = _make_viewer(slam, args)
         poses, stamps = [], []
         t0 = time.time()
         n = min(len(ds), args.frames) if args.frames else len(ds)
@@ -229,8 +249,12 @@ def main(argv=None):
             Tcw, stats = slam.track(jnp.asarray(gray), jnp.asarray(depth))
             poses.append(np.linalg.inv(Tcw) if Tcw is not None else None)
             stamps.append(stamp)
+            if viewer is not None:
+                viewer.update(Tcw)
         wall = time.time() - t0
         poses = _align_pipelined(slam, poses, n)
+        if viewer is not None:
+            viewer.close()
         from .io.datasets import associate_gt, load_tum_gt
 
         tum_gt = load_tum_gt(args.seq, args.gt)
@@ -245,6 +269,7 @@ def main(argv=None):
         cfg = _build_cfg(args, 1241, 376)
         ds = SyntheticStereoDataset(cfg.camera, n_frames=n, speed=args.speed, circle=args.circle)
         slam = SLAM(cfg)
+        viewer = _make_viewer(slam, args)
         poses, stamps, gt = [], [], []
         t0 = time.time()
         for i in range(n):
@@ -253,10 +278,14 @@ def main(argv=None):
             poses.append(np.linalg.inv(Tcw) if Tcw is not None else None)
             stamps.append(i * 0.1)
             gt.append(Twc_gt)
+            if viewer is not None:
+                viewer.update(Tcw)
             if i % 50 == 0:
                 print(f"frame {i}/{n}: {stats}", file=sys.stderr)
         wall = time.time() - t0
         poses = _align_pipelined(slam, poses, n)
+        if viewer is not None:
+            viewer.close()
 
     tracked = [p_ for p_ in poses if p_ is not None]
     out = {

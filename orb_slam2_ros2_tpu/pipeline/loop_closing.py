@@ -590,8 +590,11 @@ class LoopCloser:
         """Frame-level candidate query (starved-KF regime): dispatched
         without a host fetch, resolved later through the same pending FIFO
         and consistency chains as keyframe detections.  Returns None while
-        suppressed (map too young / recent closure)."""
-        if ref_kf < 10 or ref_kf - self.last_loop_kf < 10:
+        the map is too young.  Post-closure suppression is FRAME-based and
+        handled by the caller (SLAM._want_frame_loop_query): the reference's
+        10-keyframe window (LoopClosing.cc:222-231) never expires in the
+        starved regime this path exists for — 15 KFs can be a whole run."""
+        if ref_kf < 10:
             return None
         out_dev = self._frame_detect_prog(
             self.db, state, desc, valid, jnp.asarray(ref_kf)
@@ -611,10 +614,13 @@ class LoopCloser:
             return None
         return self.detect_resolve(kf_id, out_dev)
 
-    def detect_resolve(self, kf_id: int, out_dev) -> Optional[int]:
+    def detect_resolve(self, kf_id: int, out_dev,
+                       kf_window: bool = True) -> Optional[int]:
         """Host half of detection: fetch the candidate rows and run the
-        covisibility-consistency chains (LoopClosing.cc:218-282)."""
-        if kf_id - self.last_loop_kf < 10:
+        covisibility-consistency chains (LoopClosing.cc:218-282).
+        ``kf_window=False`` for frame-level queries, whose post-closure
+        suppression is frame-based at the dispatch site."""
+        if kf_window and kf_id - self.last_loop_kf < 10:
             return None  # a closure landed between dispatch and resolve
         out = np.asarray(out_dev)
         cand_all, covis_rows = out[:, 0], out[:, 1:]   # one host fetch total

@@ -819,6 +819,10 @@ class SLAM:
         self._pipelined = bool(cfg.tracking.pipelined) and not self._split
         self._inflight: Optional[tuple] = None
         self._pipeline_carry: Optional[tuple] = None
+        # frame id of the last accepted loop closure: frame-based suppression
+        # for the frame-level loop queries (KF-id windows collapse when
+        # keyframes are sparse)
+        self._last_closure_fid = -(1 << 30)
 
     # ------------------------------------------------------------------
     def _publish_local(self, local, refresh_view: bool = False) -> None:
@@ -1590,7 +1594,7 @@ class SLAM:
         self._ensure_loop_closer(kf_id)
         out_dev = self.loop_closer.detect_async(self.map, kf_id)
         if out_dev is not None:
-            self._pending_loops.append((kf_id, out_dev))
+            self._pending_loops.append((kf_id, out_dev, False))
 
     def _want_frame_loop_query(self, fid: int) -> bool:
         """Frame-level loop queries fire only in the starved-keyframe regime:
@@ -1600,11 +1604,13 @@ class SLAM:
         (r4 VERDICT next#4; reference detection density: LoopClosing.cc:
         218-282 sees every keyframe at a never-collapsing cadence)."""
         stride = self.cfg.loop.frame_query_stride
+        t = self.cfg.tracking
         return (
             stride > 0
             and self.enable_loop_closing
             and self.loop_closer is not None
-            and self.frames_since_kf > self.cfg.tracking.max_frames
+            and self.frames_since_kf > t.max_frames
+            and fid - self._last_closure_fid >= 10 * t.max_frames
             and fid % stride == 0
         )
 
@@ -1621,7 +1627,7 @@ class SLAM:
             self.map, desc, valid, int(self.ref_kf)
         )
         if out_dev is not None:
-            self._pending_loops.append((int(self.ref_kf), out_dev))
+            self._pending_loops.append((int(self.ref_kf), out_dev, True))
 
     def _resolve_pending_loop(self):
         """Fetch + resolve the oldest dispatched detection (a free read —
@@ -1630,8 +1636,12 @@ class SLAM:
         later idle frames advance stage by stage — the reference runs the
         same cascade on its LoopClosing thread so tracking never blocks on
         it (LoopClosing.cc:53-90)."""
-        kf_id, out_dev = self._pending_loops.pop(0)
-        cand = self.loop_closer.detect_resolve(kf_id, out_dev)
+        kf_id, out_dev, is_frame = self._pending_loops.pop(0)
+        # frame-level queries carry frame-based post-closure suppression at
+        # the dispatch site; the reference's 10-KF window would never expire
+        # in the starved regime they serve
+        cand = self.loop_closer.detect_resolve(kf_id, out_dev,
+                                               kf_window=not is_frame)
         if cand is None:
             return False
         self.loop_closer.sim3_begin(self.map, self.cam, kf_id, cand)
@@ -1659,6 +1669,7 @@ class SLAM:
         )
         self._pending_gba = start_global_ba(self.map, self.cfg.orb.scale_factor)
         self.loops_closed = getattr(self, "loops_closed", 0) + 1
+        self._last_closure_fid = self.frame_id
         # refresh the snapshot on the corrected map and re-anchor the
         # tracker's pose chain by the correction applied to its reference
         # KF (the essential graph can move it arbitrarily far)

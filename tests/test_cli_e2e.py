@@ -209,3 +209,22 @@ def test_cli_kitti_save_and_reuse_map(tmp_path, capsys):
     res2 = _run_cli(["kitti", "--seq", str(seq), "--config", str(cfg),
                      "--out", str(tmp_path / "t2"), "--load-map", mp], capsys)
     assert res2["tracked"] >= 16, res2
+
+
+@pytest.mark.slow
+def test_cli_live_viewer_film_strip(tmp_path, capsys):
+    """--viewer renders the reference Viewer's content (trajectory, map
+    points, graph, HUD counters) as a headless film strip (Viewer.cc:27-156
+    re-homed; SURVEY #19)."""
+    seq = tmp_path / "00"
+    _write_kitti_layout(str(seq), 16)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(CFG_YAML.format(cam_type=0))
+    vdir = tmp_path / "film"
+    res = _run_cli(["kitti", "--seq", str(seq), "--config", str(cfg),
+                    "--out", str(tmp_path / "t"), "--viewer", str(vdir),
+                    "--viewer-every", "5"], capsys)
+    assert res["tracked"] >= 14
+    frames = sorted(vdir.glob("viewer_*.png"))
+    assert len(frames) >= 2, list(vdir.iterdir())
+    assert frames[0].stat().st_size > 5000  # a real rendered plot
