@@ -199,16 +199,8 @@ def main():
     step_fn = slam._frame_fn  # the PRODUCTION per-frame program
     local0 = slam.local
     ref_kf0 = jnp.asarray(slam.ref_kf, jnp.int32)
-    from functools import partial as _partial
-
-    from orb_slam2_ros2_tpu.mapstate.local_map import local_map_snapshot_frame
     from orb_slam2_ros2_tpu.pipeline.system import STAT_KEYS
 
-    snap_fn = _partial(
-        local_map_snapshot_frame,
-        max_kfs=cfg.tracking.max_local_keyframes,
-        max_mps=cfg.tracking.max_local_mappoints,
-    )
     BEST_REF_IDX = STAT_KEYS.index("best_ref_kf")
 
     @jax.jit
@@ -216,11 +208,11 @@ def main():
         def body(carry, imgs):
             state, velocity, mapstate, local, ref_kf = carry
             il, ir = imgs
-            state, velocity, host_vec, mapstate = step_fn(
+            # the frame program includes the per-frame local-map refresh
+            # (buildLocalMap) — exactly what SLAM.track() dispatches
+            state, velocity, host_vec, mapstate, local = step_fn(
                 cam, il, ir, state, velocity, local, mapstate, ref_kf
             )
-            # rebuild the local map around the frame every step — exactly the
-            # per-frame refresh SLAM.track() dispatches (buildLocalMap)
             best_ref = host_vec[BEST_REF_IDX].astype(jnp.int32)
             ref_kf = jnp.where(best_ref >= 0, best_ref, ref_kf)
             local = snap_fn(mapstate, state.mp_ids)

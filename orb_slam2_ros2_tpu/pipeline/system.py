@@ -570,7 +570,15 @@ class SLAM:
             host_vec = jnp.concatenate(
                 [host_vec[:n_stat], bk[:3], host_vec[n_stat:], bk[3:]]
             )
-            return new_state, velocity2, host_vec, mapstate2
+            # the frame-centered local-map refresh (buildLocalMap) rides the
+            # SAME program — one dispatch per frame instead of two, and XLA
+            # overlaps the snapshot gathers with the stats tail
+            from ..mapstate.local_map import local_map_snapshot_frame as _lmsf
+
+            local2 = _lmsf(mapstate2, new_state.mp_ids,
+                           max_kfs=t.max_local_keyframes,
+                           max_mps=t.max_local_mappoints)
+            return new_state, velocity2, host_vec, mapstate2, local2
 
         self._frame = jax.jit(partial(_frame_program, proj_th=3.0), donate_argnums=(6,))
         self._frame_reloc = jax.jit(partial(_frame_program, proj_th=5.0), donate_argnums=(6,))
@@ -933,7 +941,7 @@ class SLAM:
             host_vec = jnp.concatenate([hv0[:7], hv1_d0[:3], hv0[7:], hv1_d0[3:]])
         else:
             frame_fn = self._frame_reloc if wide else self._frame
-            new_state, velocity, host_vec, new_map = self._timed(
+            new_state, velocity, host_vec, new_map, local_new = self._timed(
                 "track", frame_fn,
                 self.cam, img_left, img_right, self.last, self.velocity,
                 self.local, self.map, jnp.asarray(self.ref_kf, jnp.int32),
@@ -988,7 +996,8 @@ class SLAM:
                 # mapper chip inside _bookkeep_program
                 self._publish_local(local_d1)
             else:
-                self.local = self._snapshot_frame(self.map, new_state.mp_ids)
+                # rebuilt inside the frame program (one dispatch per frame)
+                self.local = local_new
 
         if self._need_keyframe(stats):
             self._insert_and_map(new_state, fid, stats)
@@ -1052,17 +1061,17 @@ class SLAM:
         """
         wide = fid < self.last_reloc_fid + 2
         frame_fn = self._frame_reloc if wide else self._frame
-        new_state, velocity, host_vec, new_map = self._timed(
+        new_state, velocity, host_vec, new_map, local_new = self._timed(
             "track", frame_fn, self.cam, img_left, img_right, self.last,
             self.velocity, self.local, self.map,
             jnp.asarray(self.ref_kf, jnp.int32),
         )
         self.map = new_map
         host_vec.copy_to_host_async()  # bytes travel while the host works
-        # frame-centered local-map refresh for the NEXT frame (buildLocalMap)
-        # — dispatched speculatively; a KF insertion at resolve time below
-        # republishes a fresher KF-centered snapshot over it
-        self.local = self._snapshot_frame(self.map, new_state.mp_ids)
+        # the frame-centered local-map refresh for the NEXT frame rode the
+        # same program; a KF insertion at resolve time below republishes a
+        # fresher KF-centered snapshot over it
+        self.local = local_new
         prev, self._inflight = self._inflight, (
             fid, new_state, velocity, host_vec, self.ref_kf,
             (img_left, img_right),
@@ -1156,13 +1165,13 @@ class SLAM:
         sfid, _s_state, _s_vel, _s_hv, _s_rk, imgs = self._inflight
         wide = sfid < self.last_reloc_fid + 2
         frame_fn = self._frame_reloc if wide else self._frame
-        new_state, velocity, host_vec, new_map = frame_fn(
+        new_state, velocity, host_vec, new_map, local_new = frame_fn(
             self.cam, imgs[0], imgs[1], corr_state, corr_velocity,
             self.local, self.map, jnp.asarray(self.ref_kf, jnp.int32),
         )
         self.map = new_map
         host_vec.copy_to_host_async()
-        self.local = self._snapshot_frame(self.map, new_state.mp_ids)
+        self.local = local_new
         self._inflight = (sfid, new_state, velocity, host_vec, self.ref_kf, imgs)
         self.last = new_state
         self.velocity = velocity

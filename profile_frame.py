@@ -116,18 +116,15 @@ def main():
     # full _frame_program (stats tail on top of slam_track_step)
     step_fn = slam._frame_fn
     def frame_body(il, ir):
-        st, v, hv, ms = step_fn(cam, il, ir, last, vel, local, mapstate, ref_kf)
+        st, v, hv, ms, lm = step_fn(cam, il, ir, last, vel, local, mapstate, ref_kf)
         return hv
     results["frame"] = scan_time(frame_body, "frame")
 
-    # + per-frame snapshot refresh (the bench body)
-    from orb_slam2_ros2_tpu.mapstate.local_map import local_map_snapshot_frame
-    snap_fn = partial(local_map_snapshot_frame,
-                      max_kfs=cfg.tracking.max_local_keyframes,
-                      max_mps=cfg.tracking.max_local_mappoints)
+    # the snapshot refresh now rides the frame program itself (r5) — keep
+    # the label for breakdown continuity; the body is identical plus the
+    # snapshot output being materialized
     def frame_snap_body(il, ir):
-        st, v, hv, ms = step_fn(cam, il, ir, last, vel, local, mapstate, ref_kf)
-        lm = snap_fn(ms, st.mp_ids)
+        st, v, hv, ms, lm = step_fn(cam, il, ir, last, vel, local, mapstate, ref_kf)
         return hv, lm.pos
     results["frame+snap"] = scan_time(frame_snap_body, "frame+snap")
 

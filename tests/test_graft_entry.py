@@ -16,8 +16,8 @@ def test_entry_compiles_and_runs():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     # entry() returns the production frame program's outputs:
-    # (SlamFrame, velocity, host_vec, MapState)
-    new_state, velocity, host_vec, mapstate = out
+    # (SlamFrame, velocity, host_vec, MapState, LocalMap)
+    new_state, velocity, host_vec, mapstate, local = out
     Tcw = np.asarray(new_state.Tcw)
     assert Tcw.shape == (4, 4)
     assert np.isfinite(Tcw).all()
