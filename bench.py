@@ -215,7 +215,6 @@ def main():
             )
             best_ref = host_vec[BEST_REF_IDX].astype(jnp.int32)
             ref_kf = jnp.where(best_ref >= 0, best_ref, ref_kf)
-            local = snap_fn(mapstate, state.mp_ids)
             return (state, velocity, mapstate, local, ref_kf), host_vec
 
         (state, velocity, mapstate, local, ref_kf), hv = jax.lax.scan(
@@ -276,6 +275,13 @@ def main():
     import subprocess
 
     try:
+        # free the parent's device buffers first: the subprocess time-shares
+        # the one chip, and the r5 capture measured a contended secondary
+        # (14.8 fps in-subprocess vs 20.1 standalone)
+        import gc
+
+        del slam, args, stack_l, stack_r, hv, local0
+        gc.collect()
         log("running full-SLAM secondary bench…")
         r = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.py")],
