@@ -280,7 +280,7 @@ def main():
         # (14.8 fps in-subprocess vs 20.1 standalone)
         import gc
 
-        del slam, args, stack_l, stack_r, hv, local0
+        del slam, args, stack_l, stack_r, hv, local0, frames_l, frames_r
         gc.collect()
         log("running full-SLAM secondary bench…")
         r = subprocess.run(

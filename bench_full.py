@@ -102,18 +102,23 @@ def main():
     log(f"warm ({slam.n_keyframes} kfs)")
 
     t0 = time.perf_counter()
-    tracked = 0
     kf_flags, inliers = [], []
     n_ft0 = len(slam.frame_times_ms)
     for i in range(WARM, WARM + N_FRAMES):
         n_kf_before = slam._n_kf
         Tcw, stats = slam.track(*frames[i])
-        tracked += Tcw is not None
         kf_flags.append(slam._n_kf > n_kf_before)
-        inliers.append(stats.get("n_tracked", 0))
+        # pipelined track() returns the PREVIOUS frame's stats; the first
+        # call's fill marker has no n_tracked — skip it rather than record a
+        # fabricated 0 in the median
+        if "n_tracked" in stats:
+            inliers.append(stats["n_tracked"])
     slam.flush()
     jax.block_until_ready(slam.map.kf_Tcw)
     dt = time.perf_counter() - t0
+    # tracked frames counted from the resolve-time trajectory records (the
+    # per-call return is one frame late under pipelining)
+    tracked = sum(1 for f, _ in slam.trajectory if WARM <= f < WARM + N_FRAMES)
 
     fps = N_FRAMES / dt
     ms = 1000.0 * dt / N_FRAMES

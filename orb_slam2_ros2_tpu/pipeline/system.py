@@ -827,6 +827,7 @@ class SLAM:
         self._pipelined = bool(cfg.tracking.pipelined) and not self._split
         self._inflight: Optional[tuple] = None
         self._pipeline_carry: Optional[tuple] = None
+        self._local_prev = None  # snapshot before the latest dispatch
         # frame id of the last accepted loop closure: frame-based suppression
         # for the frame-level loop queries (KF-id windows collapse when
         # keyframes are sparse)
@@ -1070,7 +1071,10 @@ class SLAM:
         host_vec.copy_to_host_async()  # bytes travel while the host works
         # the frame-centered local-map refresh for the NEXT frame rode the
         # same program; a KF insertion at resolve time below republishes a
-        # fresher KF-centered snapshot over it
+        # fresher KF-centered snapshot over it.  The outgoing snapshot is
+        # kept one step: if THIS frame resolves weak, its own snapshot was
+        # built from its failed matches and the recovery must not use it
+        self._local_prev = self.local
         self.local = local_new
         prev, self._inflight = self._inflight, (
             fid, new_state, velocity, host_vec, self.ref_kf,
@@ -1114,6 +1118,10 @@ class SLAM:
             new_state, velocity, Tcw = self._ref_result
             stats["ref_fallback"] = 1
             pose = np.asarray(Tcw)
+            # the weak frame's own (thin) snapshot replaced self.local at
+            # dispatch — restore the last healthy one for the recovery
+            if self._local_prev is not None:
+                self.local = self._local_prev
             self._redispatch_speculation(new_state, velocity)
         else:
             best = stats["best_ref_kf"]
@@ -1122,7 +1130,9 @@ class SLAM:
 
         self.frames_since_kf += 1
         if self._need_keyframe(stats, fid):
-            self._insert_and_map(new_state, fid, stats)
+            # adopt_last=True on purpose: the redispatch below passes
+            # self.last expecting the KF's FUSED state
+            self._insert_and_map(new_state, fid, stats, adopt_last=True)
             # the successor frame was dispatched against the PRE-keyframe
             # map: its statistics (tracked ratio, close-tracked count) would
             # read depressed and over-mint follow-up keyframes (measured
@@ -1450,10 +1460,10 @@ class SLAM:
         self._cur_frame_kf = kf_id_i  # this frame's trajectory record is I·KF
         if adopt_last:
             # the inserted KF *is* the current frame: adopt its (possibly
-            # fused) feature→map-point table as the tracker's reference.  The
-            # pipelined resolver skips this — the tracker has already moved
-            # one frame past the inserted KF (the reference's mapping thread
-            # lags its tracker the same way, LocalMapping.cc:721-726)
+            # fused) feature→map-point table as the tracker's reference.
+            # The pipelined resolver also passes True: it relies on this
+            # fused state for the successor's redispatch
+            # (_resolve_inflight → _redispatch_speculation(self.last, ...))
             self.last = cur._replace(mp_ids=last_mp_ids, Tcw=last_Tcw)
         self.frames_since_kf = 0
 
@@ -1512,9 +1522,13 @@ class SLAM:
         self._kfs_since_ba = 0
         mpcfg = self.cfg.mapping
         self._tail_counter += 1
-        do_ba = (self._tail_counter % mpcfg.ba_stride) == 0
+        # stride 0 disables the stage entirely (same convention as
+        # loop.frame_query_stride); stride 1 runs it every tail
+        do_ba = mpcfg.ba_stride > 0 and (
+            self._tail_counter % mpcfg.ba_stride) == 0
         # offset the cull stride so BA and cull alternate at stride 2/2
-        do_cull = ((self._tail_counter + 1) % mpcfg.kf_cull_stride) == 0
+        do_cull = mpcfg.kf_cull_stride > 0 and (
+            (self._tail_counter + 1) % mpcfg.kf_cull_stride) == 0
         tail_fn = self._map_tail_variants[(do_ba, do_cull)]
         self.map, local, kf_Tcw_before = self._timed(
             "map_tail", tail_fn, self.map, kf_id, self.cam
@@ -1679,17 +1693,19 @@ class SLAM:
         self._pending_gba = start_global_ba(self.map, self.cfg.orb.scale_factor)
         self.loops_closed = getattr(self, "loops_closed", 0) + 1
         self._last_closure_fid = self.frame_id
+        # pending detections/queries dispatched BEFORE the correction carry
+        # pre-closure candidates and pre-closure consistency chains — a stale
+        # frame query resolved after the closure would immediately start a
+        # redundant second cascade on the just-corrected map (the reference
+        # gets this suppression from its 10-KF window, LoopClosing.cc:222-231)
+        self._pending_loops.clear()
+        self.loop_closer.consistent_groups = []
         # refresh the snapshot on the corrected map and re-anchor the
         # tracker's pose chain by the correction applied to its reference
         # KF (the essential graph can move it arbitrarily far)
         self._publish_local(self._snapshot(self.map, jnp.asarray(self.ref_kf)),
                             refresh_view=True)
-        if self.last is not None:
-            delta = se3.inverse(ref_before) @ self.map.kf_Tcw[self.ref_kf]
-            if self._split:
-                delta = jax.device_put(delta, self._d0)
-            self.last = self.last._replace(Tcw=self.last.Tcw @ delta)
-            self.velocity = jnp.eye(4, dtype=jnp.float32)
+        self._reanchor_tracker(ref_before)
         return True
 
     def _step_pending_gba(self):
@@ -1718,12 +1734,28 @@ class SLAM:
         self._pending_gba = None
         self._publish_local(self._snapshot(self.map, jnp.asarray(self.ref_kf)),
                             refresh_view=True)
-        if self.last is not None:
-            delta = se3.inverse(ref_before) @ self.map.kf_Tcw[self.ref_kf]
-            if self._split:
-                delta = jax.device_put(delta, self._d0)
-            self.last = self.last._replace(Tcw=self.last.Tcw @ delta)
-            self.velocity = jnp.eye(4, dtype=jnp.float32)
+        self._reanchor_tracker(ref_before)
+
+    def _reanchor_tracker(self, ref_before) -> None:
+        """Apply a loop/GBA correction to the tracker's pose chain: the
+        delta that moved the reference keyframe corrects ``self.last`` AND
+        the inflight speculative frame (pipelined mode) — the inflight tuple
+        holds its own reference to the pre-correction state, and resolving
+        it later would otherwise insert a keyframe at the pre-closure pose
+        into the corrected map."""
+        if self.last is None:
+            return
+        delta = se3.inverse(ref_before) @ self.map.kf_Tcw[self.ref_kf]
+        if self._split:
+            delta = jax.device_put(delta, self._d0)
+        inflight_is_last = (
+            self._inflight is not None and self._inflight[1] is self.last
+        )
+        self.last = self.last._replace(Tcw=self.last.Tcw @ delta)
+        self.velocity = jnp.eye(4, dtype=jnp.float32)
+        if inflight_is_last:
+            f, _st, v, hv, rk, imgs = self._inflight
+            self._inflight = (f, self.last, v, hv, rk, imgs)
 
     # ------------------------------------------------------------------
     def run_global_ba(self, mesh=None):

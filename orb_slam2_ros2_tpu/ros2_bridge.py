@@ -27,6 +27,28 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 
+def _quat_from_R(R):
+    """Unit quaternion (qx, qy, qz, qw) of a rotation matrix — the
+    largest-diagonal branch method (the trace-only formula divides by ~0 at
+    180° rotations, e.g. a robot completing a U-turn)."""
+    import numpy as np
+
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        return ((R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                (R[1, 0] - R[0, 1]) / s, 0.25 * s)
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
+    q = np.zeros(4)
+    q[i] = 0.25 * s
+    q[3] = (R[k, j] - R[j, k]) / s
+    q[j] = (R[j, i] + R[i, j]) / s
+    q[k] = (R[k, i] + R[i, k]) / s
+    return q[0], q[1], q[2], q[3]
+
+
 def _pair_frames(
     left: List[Tuple[float, object]],
     right: List[Tuple[float, object]],
@@ -133,13 +155,11 @@ def main(argv=None):
                 p.header = lmsg.header
                 p.pose.position.x, p.pose.position.y, p.pose.position.z = (
                     float(v) for v in Twc[:3, 3])
-                # rotation → quaternion (w last per geometry_msgs)
-                R = Twc[:3, :3]
-                qw = 0.5 * np.sqrt(max(1.0 + np.trace(R), 1e-12))
+                qx, qy, qz, qw = _quat_from_R(Twc[:3, :3])
+                p.pose.orientation.x = float(qx)
+                p.pose.orientation.y = float(qy)
+                p.pose.orientation.z = float(qz)
                 p.pose.orientation.w = float(qw)
-                p.pose.orientation.x = float((R[2, 1] - R[1, 2]) / (4 * qw))
-                p.pose.orientation.y = float((R[0, 2] - R[2, 0]) / (4 * qw))
-                p.pose.orientation.z = float((R[1, 0] - R[0, 1]) / (4 * qw))
                 self.pub_pose.publish(p)
 
     rclpy.init()
